@@ -1,0 +1,15 @@
+from .config import ModelConfig, LLAMA2_7B, TINY_LLAMA, TINY_GQA
+from .llama import (
+    init_params,
+    forward,
+    make_kv_probes,
+    SimQuantParams,
+    SimQuantArrays,
+    SimQuantConfig,
+    simquant_from_quantizers,
+    rope_cos_sin,
+    apply_rope,
+    rotate_half,
+    rms_norm,
+)
+from .hf_loader import load_hf_checkpoint, config_from_hf

@@ -1,0 +1,397 @@
+"""Functional JAX LLaMA-family transformer.
+
+TPU-first design choices (vs the reference's forked HF transformers):
+  - pure function + stacked-parameter pytree, `lax.scan` over layers (one
+    layer trace instead of n_layers traces: fast compiles at 32+ layers)
+  - bf16 matmuls on the MXU, fp32 RMSNorm/softmax/rope
+  - RoPE computed analytically from positions every call (the reference's
+    "dynamic RoPE" deployment modeling_llama.py:159-179 exists to avoid a
+    1M-entry cos/sin cache; in JAX that is simply the natural formulation)
+  - simulated KV quantization is a pure hook on the k/v projections
+    (reference wraps k_proj/v_proj in QuantLinearSim modules,
+    quant/kvquant/simquant_module_quantizer.py:563)
+  - Fisher calibration needs d(loss)/d(k_act): instead of module hooks +
+    retain_grad (gradients fork modeling_llama.py:286-301) we add zero-valued
+    probe tensors to the activations and take plain jax.grad w.r.t. them.
+
+Capture/probe outputs are per-layer stacked along a leading L axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from ..quant.nuq import quant_lut
+from ..quant.outliers import (
+    static_outlier_mask,
+    dynamic_outlier_mask,
+    capped_outlier_mask,
+    apply_sink_mask,
+)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Random-init parameter pytree with stacked per-layer weights."""
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / shape[-2] ** 0.5 if len(shape) > 1 else 0.02)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    L, D, H, Hkv, Dh, F = (
+        cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.d_head,
+        cfg.d_ff,
+    )
+    ks = jax.random.split(k_layers, 7)
+    layers = dict(
+        wq=dense(ks[0], (L, D, H * Dh)),
+        wk=dense(ks[1], (L, D, Hkv * Dh)),
+        wv=dense(ks[2], (L, D, Hkv * Dh)),
+        wo=dense(ks[3], (L, H * Dh, D)),
+        w_gate=dense(ks[4], (L, D, F)),
+        w_up=dense(ks[5], (L, D, F)),
+        w_down=dense(ks[6], (L, F, D)),
+        ln_attn=jnp.ones((L, D), jnp.float32),
+        ln_mlp=jnp.ones((L, D), jnp.float32),
+    )
+    params = dict(
+        embed=dense(k_embed, (cfg.vocab_size, D), scale=0.02),
+        final_norm=jnp.ones((D,), jnp.float32),
+        layers=layers,
+    )
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(k_head, (D, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * w).astype(x.dtype)
+
+
+def rope_cos_sin(positions, cfg: ModelConfig, dtype=jnp.float32):
+    """cos/sin tables for given positions: (..., d_head). HF rotate-half
+    convention: angles for dim pair i repeated at i and i + d_head/2."""
+    half = cfg.d_head // 2
+    inv_freq = cfg.rope_theta ** (
+        -jnp.arange(0, half, dtype=jnp.float32) * 2.0 / cfg.d_head
+    )
+    pos = positions.astype(jnp.float32) / cfg.rope_scaling
+    angles = pos[..., None] * inv_freq  # (..., half)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def apply_rope(x, cos, sin):
+    """x: (..., T, n, d_head) with cos/sin (..., T, d_head)."""
+    c = jnp.expand_dims(cos, -2)
+    s = jnp.expand_dims(sin, -2)
+    xf = x.astype(jnp.float32)
+    return (xf * c + rotate_half(xf) * s).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# simulated KV quantization hook
+# ---------------------------------------------------------------------------
+
+# Quantizer arrays (a pytree scanned over layers) are kept separate from the
+# static scheme config (hashable, closed over) so the whole thing jits clean.
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SimQuantArrays:
+    """Stacked (leading L axis) quantizer arrays.
+
+    K: per-channel, pre-RoPE, static calibrated thresholds, optionally capped
+       outlier budget per token.
+    V: per-token, dynamic range (see SimQuantConfig.v_mode).
+    Shapes: k_lower/k_upper (L, C); k_lut/v_lut (L, 2**bits) sorted
+    normalized; *_normscale/*_normoffset (L,) Q-Norm affine (1/0 when unused).
+    """
+
+
+    k_lower: Any
+    k_upper: Any
+    k_lut: Any
+    v_lut: Any
+    k_normscale: Any
+    k_normoffset: Any
+    v_normscale: Any
+    v_normoffset: Any
+
+
+@dataclass(frozen=True)
+class SimQuantConfig:
+    """Static scheme config. v_mode:
+    - "topk": range/outliers from the token's own 2-sided top-k (matches the
+      deployed kernels, deployment modeling_llama.py:1091-1114)
+    - "percentile": reference simulated-eval semantics
+      (get_outliers_dynamic, simquant_module_quantizer.py:80)
+    """
+
+    bits: int
+    include_sparse: bool = True
+    sparsity_threshold: float = 0.99
+    cap_per_side: int = 0  # 0 => uncapped static mask
+    first_few_fp16: int = 0
+    v_mode: str = "topk"  # or "percentile"
+    qnorm: bool = False
+
+
+@dataclass
+class SimQuantParams:
+    arrays: SimQuantArrays
+    config: SimQuantConfig
+
+
+def simquant_from_quantizers(qs, v_mode="topk") -> SimQuantParams:
+    """Build stacked simulated-quant params from a QuantizerSet artifact."""
+    import numpy as np
+
+    k_lower = np.stack([lq.k.lower for lq in qs.layers])
+    k_upper = np.stack([lq.k.upper for lq in qs.layers])
+    k_lut = np.stack([np.sort(lq.k.lut.reshape(-1)) for lq in qs.layers])
+    v_lut = np.stack([np.sort(lq.v.lut.reshape(-1)) for lq in qs.layers])
+
+    def aff(vals, default):
+        return np.array(
+            [default if v is None else v for v in vals], np.float32
+        )
+
+    arrays = SimQuantArrays(
+        k_lower=jnp.asarray(k_lower, jnp.float32),
+        k_upper=jnp.asarray(k_upper, jnp.float32),
+        k_lut=jnp.asarray(k_lut, jnp.float32),
+        v_lut=jnp.asarray(v_lut, jnp.float32),
+        k_normscale=jnp.asarray(aff([lq.k.normscale for lq in qs.layers], 1.0)),
+        k_normoffset=jnp.asarray(aff([lq.k.normoffset for lq in qs.layers], 0.0)),
+        v_normscale=jnp.asarray(aff([lq.v.normscale for lq in qs.layers], 1.0)),
+        v_normoffset=jnp.asarray(aff([lq.v.normoffset for lq in qs.layers], 0.0)),
+    )
+    qnorm = any(lq.k.normscale is not None for lq in qs.layers)
+    from ..quant.outliers import outlier_budget_per_side
+
+    C = k_lower.shape[-1]
+    cfg = SimQuantConfig(
+        bits=qs.bits,
+        include_sparse=True,
+        sparsity_threshold=qs.sparsity_threshold,
+        cap_per_side=outlier_budget_per_side(C, qs.sparsity_threshold)
+        if qs.cap_outliers
+        else 0,
+        first_few_fp16=qs.first_few_fp16,
+        v_mode=v_mode,
+        qnorm=qnorm,
+    )
+    return SimQuantParams(arrays=arrays, config=cfg)
+
+
+def simquant_k(k, arrs, cfg: SimQuantConfig):
+    """Fake-quantize pre-RoPE keys (B, T, C), per-channel static scheme."""
+    kf = k.astype(jnp.float32)
+    if cfg.include_sparse:
+        if cfg.cap_per_side > 0:
+            mask, _ = capped_outlier_mask(
+                kf, arrs.k_lower, arrs.k_upper, cfg.cap_per_side, axis=0
+            )
+        else:
+            mask = static_outlier_mask(kf, arrs.k_lower, arrs.k_upper, axis=0)
+        mask = apply_sink_mask(mask, cfg.first_few_fp16, token_axis=-2)
+    else:
+        mask = None
+    deq = quant_lut(
+        kf,
+        arrs.k_lut,
+        axis=0,  # per-channel thresholds broadcast along tokens
+        minval=arrs.k_lower,
+        maxval=arrs.k_upper,
+        outlier_mask=mask,
+        normscale=arrs.k_normscale if cfg.qnorm else None,
+        normoffset=arrs.k_normoffset if cfg.qnorm else None,
+        sink=cfg.first_few_fp16,
+        token_axis=-2,
+    )
+    return deq.astype(k.dtype)
+
+
+def v_topk_range_and_mask(vf, cap_per_side: int):
+    """Deployed-kernel V semantics: range = the (cap+1)-th extreme value each
+    side; the top-cap each side are the sparse outliers
+    (deployment modeling_llama.py:1528-1545, 1091-1114)."""
+    top_v, _ = jax.lax.top_k(vf, cap_per_side + 1)
+    bot_v, _ = jax.lax.top_k(-vf, cap_per_side + 1)
+    maxval = top_v[..., -1:]
+    minval = -bot_v[..., -1:]
+    mask = (vf > maxval) | (vf < minval)
+    return minval, maxval, mask
+
+
+def simquant_v(v, arrs, cfg: SimQuantConfig):
+    """Fake-quantize values (B, T, C), per-token dynamic scheme."""
+    vf = v.astype(jnp.float32)
+    minval = maxval = None
+    dynamic = True
+    if cfg.include_sparse:
+        if cfg.v_mode == "topk":
+            minval, maxval, mask = v_topk_range_and_mask(
+                vf, max(1, int(((1 - cfg.sparsity_threshold) / 2) * v.shape[-1]))
+            )
+            dynamic = False
+        else:
+            mask = dynamic_outlier_mask(vf, cfg.sparsity_threshold, axis=-1)
+        mask = apply_sink_mask(mask, cfg.first_few_fp16, token_axis=-2)
+    else:
+        mask = None
+    deq = quant_lut(
+        vf,
+        arrs.v_lut,
+        axis=-1,
+        minval=minval,
+        maxval=maxval,
+        dynamic=dynamic,
+        outlier_mask=mask,
+        normscale=arrs.v_normscale if cfg.qnorm else None,
+        normoffset=arrs.v_normoffset if cfg.qnorm else None,
+        sink=cfg.first_few_fp16,
+        token_axis=-2,
+    )
+    return deq.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _attention(q, k, v, cfg: ModelConfig, positions):
+    """Causal full-sequence attention. q: (B,T,H,Dh), k/v: (B,T,Hkv,Dh)."""
+    B, T, H, Dh = q.shape
+    g = cfg.q_per_kv
+    qh = q.reshape(B, T, cfg.n_kv_heads, g, Dh)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qh, k, preferred_element_type=jnp.float32
+    ) / (Dh**0.5)
+
+    # causal (+ optional sliding window) mask from absolute positions
+    pq = positions[:, :, None]
+    pk = positions[:, None, :]
+    mask = pk <= pq
+    if cfg.sliding_window is not None:
+        mask &= pk > pq - cfg.sliding_window
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, H * Dh).astype(q.dtype)
+
+
+def forward(
+    params,
+    cfg: ModelConfig,
+    tokens,  # (B, T) int32
+    *,
+    positions=None,  # (B, T) int32 absolute positions
+    simquant: SimQuantParams | None = None,
+    capture_kv: bool = False,
+    kv_probes=None,  # dict(k=(L,B,T,C), v=(L,B,T,C)) zeros — Fisher probes
+):
+    """Full-sequence forward. Returns (logits fp32 (B,T,V), aux dict).
+
+    aux["k_acts"]/aux["v_acts"]: (L, B, T, C) fp32 pre-RoPE k / v projections
+    when capture_kv=True (the calibration signal, reference hook at
+    quant/llama_simquant.py:238-245).
+    """
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    cos, sin = rope_cos_sin(positions, cfg)
+
+    x = jnp.take(params["embed"], tokens, axis=0)
+    sq_arrays = simquant.arrays if simquant is not None else None
+    sq_cfg = simquant.config if simquant is not None else None
+
+    def layer_fn(x, scanned):
+        lp = scanned["p"]
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q = h @ lp["wq"]
+        k = h @ lp["wk"]
+        v = h @ lp["wv"]
+
+        if kv_probes is not None:
+            k = k + scanned["probe_k"]
+            v = v + scanned["probe_v"]
+
+        captured = (
+            (k.astype(jnp.float32), v.astype(jnp.float32))
+            if capture_kv
+            else (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        )
+
+        if simquant is not None:
+            sq = scanned["sq"]
+            k = simquant_k(k, sq, sq_cfg)
+            v = simquant_v(v, sq, sq_cfg)
+
+        q = q.reshape(B, T, cfg.n_heads, cfg.d_head)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn = _attention(q, k, v, cfg, positions)
+        x = x + attn @ lp["wo"]
+
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return x, captured
+
+    scanned = {"p": params["layers"]}
+    if sq_arrays is not None:
+        scanned["sq"] = sq_arrays
+    if kv_probes is not None:
+        scanned["probe_k"] = kv_probes["k"]
+        scanned["probe_v"] = kv_probes["v"]
+
+    x, (k_acts, v_acts) = jax.lax.scan(layer_fn, x, scanned)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+
+    aux = {}
+    if capture_kv:
+        aux["k_acts"] = k_acts
+        aux["v_acts"] = v_acts
+    return logits, aux
+
+
+def make_kv_probes(cfg: ModelConfig, batch: int, seq: int):
+    """Zero probe tensors whose gradients are d(loss)/d(k_act), d(loss)/d(v_act)."""
+    shape = (cfg.n_layers, batch, seq, cfg.kv_hidden)
+    return {
+        "k": jnp.zeros(shape, jnp.float32),
+        "v": jnp.zeros(shape, jnp.float32),
+    }
