@@ -1,0 +1,209 @@
+"""Quantized KV cache: a functional pytree of static-shape arrays.
+
+Replaces the reference's stateful QuantK/QuantV modules (deployment
+modeling_llama.py:352/:978). Per layer (all arrays carry leading (L, B)):
+
+  k_planes / v_planes : (L,B,Hkv,D,bits,TW) int32   bit-plane packed codes,
+                        token axis last (TW = cache_tokens/32 words)
+  k_ovals / k_oidx    : (L,B,Tc,2*cap) fp32/int32   fixed-budget Key outliers
+                        (value minus its dense dequant; channel index over
+                        C = Hkv*D), mirroring the 42-slot rows at
+                        modeling_llama.py:396-397
+  v_ovals / v_oidx    : (L,B,Tc,2*cap)              Value outliers
+                        (value minus the token's zero-point LUT entry)
+  v_scale / v_offset  : (L,B,Tc) fp32               per-token V range — the
+                        expanded (max_len, 2**bits) LUT of the reference
+                        (:1011) is reconstructed from these 2 scalars + the
+                        global normalized LUT, saving 8x LUT memory
+  k_sink / v_sink     : (L,B,Hkv,S,D) fp32          attention-sink prefix
+                        kept exact; K stored post-RoPE (positions are fixed),
+                        V raw — reference kcache_fp16/vcache_fp16 (:1464-1466)
+  length              : (B,) int32                  tokens present (incl sink)
+
+The packed caches hold positions S..S+Tc-1; absolute position p maps to
+packed index p - S (the reference's klen - first_few_fp16 bookkeeping,
+modeling_llama.py:679).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .quant.outliers import outlier_budget_per_side
+
+
+@dataclass(frozen=True)
+class DeployConfig:
+    """Static deployment scheme parameters."""
+
+    bits: int
+    n_kv_heads: int
+    d_head: int
+    max_len: int  # total context capacity incl. sink tokens
+    cap_per_side: int  # outlier slots per side per token
+    sink: int = 5  # first_few_fp16
+    sparsity_threshold: float = 0.99
+    include_sparse: bool = True
+
+    @property
+    def kv_hidden(self) -> int:
+        return self.n_kv_heads * self.d_head
+
+    @property
+    def cache_tokens(self) -> int:
+        """Packed-cache capacity (multiple of 32)."""
+        t = self.max_len - self.sink
+        return ((t + 31) // 32) * 32
+
+    @property
+    def n_slots(self) -> int:
+        return 2 * self.cap_per_side
+
+    @classmethod
+    def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
+               sparsity_threshold=0.99, include_sparse=True):
+        return cls(
+            bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
+            cap_per_side=outlier_budget_per_side(
+                n_kv_heads * d_head, sparsity_threshold
+            ),
+            sink=sink, sparsity_threshold=sparsity_threshold,
+            include_sparse=include_sparse,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVCache:
+    k_planes: Any
+    v_planes: Any
+    k_ovals: Any
+    k_oidx: Any
+    v_ovals: Any
+    v_oidx: Any
+    v_scale: Any
+    v_offset: Any
+    k_sink: Any
+    v_sink: Any
+    length: Any
+
+    def layer(self, i) -> "KVCache":
+        return jax.tree.map(
+            lambda a: a[i] if a.ndim > 1 else a, self
+        )
+
+
+def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
+    L, B = n_layers, batch
+    H, D, S = dcfg.n_kv_heads, dcfg.d_head, dcfg.sink
+    TW = dcfg.cache_tokens // 32
+    Tc = dcfg.cache_tokens
+    ns = dcfg.n_slots
+
+    def z(shape, dt):
+        return jnp.zeros(shape, dt)
+
+    return KVCache(
+        k_planes=z((L, B, H, D, dcfg.bits, TW), jnp.int32),
+        v_planes=z((L, B, H, D, dcfg.bits, TW), jnp.int32),
+        k_ovals=z((L, B, Tc, ns), jnp.float32),
+        k_oidx=z((L, B, Tc, ns), jnp.int32),
+        v_ovals=z((L, B, Tc, ns), jnp.float32),
+        v_oidx=z((L, B, Tc, ns), jnp.int32),
+        v_scale=z((L, B, Tc), jnp.float32),
+        v_offset=z((L, B, Tc), jnp.float32),
+        k_sink=z((L, B, H, S, D), jnp.float32),
+        v_sink=z((L, B, H, S, D), jnp.float32),
+        length=z((B,), jnp.int32),
+    )
+
+
+def reset_cache(cache: KVCache) -> KVCache:
+    """Zero everything (reference QuantK.reset/QuantV.reset)."""
+    return jax.tree.map(jnp.zeros_like, cache)
+
+
+def cache_bytes(dcfg: DeployConfig, n_layers: int, batch: int) -> dict:
+    """Memory accounting for the quantized cache vs an fp16 baseline."""
+    C = dcfg.kv_hidden
+    Tc = dcfg.cache_tokens
+    packed = 2 * n_layers * batch * C * dcfg.bits * Tc // 8
+    outliers = 2 * n_layers * batch * Tc * dcfg.n_slots * 8
+    vlut = 2 * n_layers * batch * Tc * 4
+    sink = 2 * n_layers * batch * C * dcfg.sink * 4
+    fp16 = 2 * n_layers * batch * C * dcfg.max_len * 2
+    total = packed + outliers + vlut + sink
+    return dict(
+        packed=packed, outliers=outliers, v_range=vlut, sink=sink,
+        total=total, fp16_baseline=fp16, ratio=fp16 / total,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deployed quantizer arrays (static per model, stacked over layers)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DeployedQuant:
+    """Per-layer quantizer state expanded for the deployed datapath.
+
+    k_lut_enc is used for nearest-code selection, k_lut_dec for dequant;
+    they differ only under Q-Norm (reference lookup_table vs lookup_table2,
+    modeling_llama.py:469-488).
+    """
+
+    k_range: Any  # (L, Hkv, D) fp32 per-channel halfrange
+    k_offset: Any  # (L, Hkv, D) fp32 per-channel zeropoint
+    k_lower: Any  # (L, C) outlier thresholds
+    k_upper: Any  # (L, C)
+    k_lut_enc: Any  # (L, 2**bits) sorted normalized
+    k_lut_dec: Any  # (L, 2**bits)
+    v_lut_enc: Any  # (L, 2**bits)
+    v_lut_dec: Any  # (L, 2**bits)
+
+    def layer(self, i) -> "DeployedQuant":
+        return jax.tree.map(lambda a: a[i], self)
+
+
+def deployed_from_quantizers(qs, n_kv_heads: int, d_head: int) -> DeployedQuant:
+    def stack(fn):
+        return jnp.asarray(np.stack([fn(lq) for lq in qs.layers]), jnp.float32)
+
+    def luts(get):
+        enc, dec = [], []
+        for lq in qs.layers:
+            q = get(lq)
+            lut = np.sort(np.asarray(q.lut, np.float32).reshape(-1))
+            enc.append(lut)
+            if q.normscale is not None:
+                dec.append(lut * q.normscale + q.normoffset)
+            else:
+                dec.append(lut)
+        return (
+            jnp.asarray(np.stack(enc), jnp.float32),
+            jnp.asarray(np.stack(dec), jnp.float32),
+        )
+
+    k_enc, k_dec = luts(lambda lq: lq.k)
+    v_enc, v_dec = luts(lambda lq: lq.v)
+    up = stack(lambda lq: lq.k.upper.reshape(-1))
+    lo = stack(lambda lq: lq.k.lower.reshape(-1))
+    L, C = up.shape
+    assert C == n_kv_heads * d_head
+    return DeployedQuant(
+        k_range=((up - lo) / 2).reshape(L, n_kv_heads, d_head),
+        k_offset=((up + lo) / 2).reshape(L, n_kv_heads, d_head),
+        k_lower=lo,
+        k_upper=up,
+        k_lut_enc=k_enc,
+        k_lut_dec=k_dec,
+        v_lut_enc=v_enc,
+        v_lut_dec=v_dec,
+    )

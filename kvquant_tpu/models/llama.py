@@ -253,9 +253,12 @@ def simquant_v(v, arrs, cfg: SimQuantConfig):
     dynamic = True
     if cfg.include_sparse:
         if cfg.v_mode == "topk":
-            minval, maxval, mask = v_topk_range_and_mask(
-                vf, max(1, int(((1 - cfg.sparsity_threshold) / 2) * v.shape[-1]))
+            from ..quant.outliers import outlier_budget_per_side
+
+            cap = cfg.cap_per_side or outlier_budget_per_side(
+                v.shape[-1], cfg.sparsity_threshold
             )
+            minval, maxval, mask = v_topk_range_and_mask(vf, cap)
             dynamic = False
         else:
             mask = dynamic_outlier_mask(vf, cfg.sparsity_threshold, axis=-1)
