@@ -1,0 +1,259 @@
+"""Deployed inference engine: prefill + token-by-token decode over the
+packed quantized KV cache, full-model.
+
+Replaces the reference's forked-HF generation stack (deployment
+generation/utils.py kvquant mode + llama.py benchmark loop, SURVEY.md P16/P17)
+with a functional TPU-native engine:
+
+  - ``prefill``: one full-precision forward over the prompt (the reference's
+    flash-attn prompt phase, modeling_llama.py:1860-1873) that simultaneously
+    captures pre-RoPE K/V activations and packs them into the quantized cache
+    for every layer in parallel (parallel_pack, :879-975/:1294-1385).
+  - ``decode_step``: single-token forward where each layer appends to and
+    attends over its packed cache (ops.deployed.decode_attention — later a
+    Pallas kernel datapath). Layers run under one ``lax.scan`` so the whole
+    step is a single compiled program regardless of depth.
+  - ``generate``: static-shape greedy/temperature sampling loop via
+    ``lax.scan`` with a position-based stop mask (the reference stops on
+    position_id >= max_length, generation/utils.py:2401-2407).
+
+State is explicit: EngineState(cache, pos) is a pytree; all functions are
+pure and jit/donate-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .cache import KVCache, DeployConfig, DeployedQuant, create_cache
+from .models.config import ModelConfig
+from .models import llama
+from .ops import deployed
+
+
+_CACHE_FIELDS = [f.name for f in dataclasses.fields(KVCache) if f.name != "length"]
+
+
+def _split_cache(cache: KVCache):
+    return {f: getattr(cache, f) for f in _CACHE_FIELDS}, cache.length
+
+
+def _merge_cache(arrays, length) -> KVCache:
+    return KVCache(length=length, **arrays)
+
+
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    cache: KVCache,
+    tokens,  # (B, T0) int32 prompt
+):
+    """Full-precision prompt forward + parallel pack of all layers' caches.
+
+    Returns (cache, logits_last (B, V) fp32).
+    """
+    logits, aux = llama.forward(params, cfg, tokens, capture_kv=True)
+    k_acts = aux["k_acts"]  # (L, B, T0, C) fp32 pre-RoPE
+    v_acts = aux["v_acts"]
+
+    arrays, length = _split_cache(cache)
+
+    def pack_layer(arr_l, lq, k_l, v_l):
+        cache_l = _merge_cache(arr_l, length)
+        new = deployed.prefill_pack(cache_l, lq, dcfg, cfg, k_l, v_l)
+        new_arrays, new_len = _split_cache(new)
+        return new_arrays, new_len
+
+    new_arrays, new_lens = jax.vmap(pack_layer, in_axes=(0, 0, 0, 0))(
+        arrays, dq, k_acts, v_acts
+    )
+    return _merge_cache(new_arrays, new_lens[0]), logits[:, -1].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_step(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    cache: KVCache,
+    token,  # (B,) int32 the previously sampled token
+    pos,  # scalar int32 its absolute position
+):
+    """One decode step: append ``token`` at ``pos`` to every layer's cache and
+    return (cache, logits (B, V) fp32) for the next position.
+
+    The reference feeds only the last token per step in kvquant mode
+    (generation/utils.py:2680-2685); position bookkeeping lives in ``pos``.
+    """
+    assert cfg.sliding_window is None, "sliding-window decode not yet supported"
+    B = token.shape[0]
+    H, Dh = cfg.n_heads, cfg.d_head
+
+    x = jnp.take(params["embed"], token, axis=0)  # (B, D)
+    arrays, length = _split_cache(cache)
+
+    def layer_fn(x, scanned):
+        lp = scanned["p"]
+        arr_l = scanned["c"]
+        lq = scanned["q"]
+        cache_l = _merge_cache(arr_l, length)
+
+        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(B, H, Dh)
+        k = h @ lp["wk"]
+        v = h @ lp["wv"]
+
+        cache_l, attn = deployed.decode_attention(
+            cache_l, lq, dcfg, cfg, q, k, v, pos
+        )
+        x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
+
+        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+
+        new_arrays, new_len = _split_cache(cache_l)
+        return x, (new_arrays, new_len)
+
+    scanned = {"p": params["layers"], "c": arrays, "q": dq}
+    x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
+
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+    return _merge_cache(new_arrays, new_lens[0]), logits
+
+
+# ---------------------------------------------------------------------------
+# generation loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int
+    temperature: float = 0.0  # 0 => greedy
+    top_p: float = 1.0
+    eos_token_id: int | None = None
+
+
+def _sample(logits, gcfg: GenerateConfig, key):
+    if gcfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / gcfg.temperature
+    if gcfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < gcfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def generate(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    prompt,  # (B, T0) int32
+    gcfg: GenerateConfig,
+    *,
+    cache: KVCache | None = None,
+    key=None,
+):
+    """Prefill + fixed-length decode scan. Returns (tokens (B, N) int32,
+    cache). Positions past ``dcfg.max_len`` or after EOS emit ``eos`` (or 0)
+    — generation stops contributing but shapes stay static."""
+    B, T0 = prompt.shape
+    if cache is None:
+        cache = create_cache(dcfg, cfg.n_layers, B)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    cache, logits = prefill(params, cfg, dcfg, dq, cache, prompt)
+
+    pad_id = gcfg.eos_token_id if gcfg.eos_token_id is not None else 0
+
+    def step(carry, key_t):
+        cache, logits, pos, done = carry
+        tok = _sample(logits, gcfg, key_t)
+        tok = jnp.where(done, pad_id, tok)
+        cache, next_logits = decode_step(params, cfg, dcfg, dq, cache, tok, pos)
+        done_next = done | (pos + 1 >= dcfg.max_len)
+        if gcfg.eos_token_id is not None:
+            done_next = done_next | (tok == gcfg.eos_token_id)
+        return (cache, next_logits, pos + 1, done_next), tok
+
+    keys = jax.random.split(key, gcfg.max_new_tokens)
+    init = (cache, logits, jnp.int32(T0), jnp.zeros((B,), bool))
+    (cache, _, _, _), toks = jax.lax.scan(step, init, keys)
+    return toks.T, cache  # (B, max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# deployed perplexity check (the reference's --check oracle,
+# deployment/llama.py:84-93: run token-by-token through the quantized cache
+# and accumulate next-token NLL)
+# ---------------------------------------------------------------------------
+
+
+def deployed_ppl(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    tokens,  # (B, T) int32
+    *,
+    prefill_tokens: int = 0,
+):
+    """Token-by-token decode over ``tokens`` accumulating next-token NLL.
+    ``prefill_tokens`` > 0 runs that prefix through the fp16 prefill path
+    first (quantizing its KV) — matching deployed usage."""
+    B, T = tokens.shape
+    cache = create_cache(dcfg, cfg.n_layers, B)
+
+    if prefill_tokens > dcfg.sink:
+        t0 = prefill_tokens
+        cache, logits = prefill(params, cfg, dcfg, dq, cache, tokens[:, :t0])
+    else:
+        # pure token-by-token path (the reference benchmark loop,
+        # deployment/llama.py:72-87): decode the first token at position 0
+        t0 = 1
+        cache, logits = decode_step(
+            params, cfg, dcfg, dq, cache, tokens[:, 0], jnp.int32(0)
+        )
+
+    def step(carry, t):
+        cache, logits, total = carry
+        tgt = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+        cache, next_logits = decode_step(
+            params, cfg, dcfg, dq, cache, tgt, t
+        )
+        return (cache, next_logits, total + jnp.sum(nll)), None
+
+    steps = jnp.arange(t0, T, dtype=jnp.int32)
+    (cache, _, total), _ = jax.lax.scan(step, (cache, logits, jnp.float32(0)), steps)
+    n = (T - t0) * B
+    return float(jnp.exp(total / n))

@@ -114,7 +114,9 @@ class TestFisher:
         cfg, params, tokens = tiny
         base = clm_loss(params, cfg, tokens)
         probed = clm_loss(params, cfg, tokens, kv_probes=make_kv_probes(cfg, 2, 64))
-        np.testing.assert_allclose(float(base), float(probed), rtol=1e-6)
+        # fp32 probes promote the bf16 k/v activations, so numerics shift at
+        # the promotion level, not exactness
+        np.testing.assert_allclose(float(base), float(probed), rtol=1e-3)
 
 
 class TestSimQuantE2E:
