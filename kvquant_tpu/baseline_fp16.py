@@ -1,0 +1,114 @@
+"""fp16/bf16 KV-cache decode baseline.
+
+The comparison surface for the quantized engine (the reference benchmarks
+its kernels against fp16 matvec baselines, benchmarking/scripts/
+test_kernel_baselines.py): a preallocated full-precision KV cache with the
+same static-shape decode structure, so throughput ratios isolate the cost /
+benefit of KV quantization rather than engine differences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .models.config import ModelConfig
+from .models import llama
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Fp16Cache:
+    k: Any  # (L, B, Hkv, T, Dh) post-RoPE keys
+    v: Any  # (L, B, Hkv, T, Dh)
+    length: Any  # (B,) int32
+
+
+def create_fp16_cache(cfg: ModelConfig, max_len: int, batch: int,
+                      dtype=jnp.bfloat16) -> Fp16Cache:
+    L, H, Dh = cfg.n_layers, cfg.n_kv_heads, cfg.d_head
+    return Fp16Cache(
+        k=jnp.zeros((L, batch, H, max_len, Dh), dtype),
+        v=jnp.zeros((L, batch, H, max_len, Dh), dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def prefill(params, cfg: ModelConfig, cache: Fp16Cache, tokens):
+    """Full forward over the prompt; store post-RoPE K and V."""
+    B, T0 = tokens.shape
+    logits, aux = llama.forward(params, cfg, tokens, capture_kv=True)
+    cos, sin = llama.rope_cos_sin(jnp.arange(T0, dtype=jnp.int32), cfg)
+
+    k = aux["k_acts"].reshape(-1, B, T0, cfg.n_kv_heads, cfg.d_head)
+    v = aux["v_acts"].reshape(-1, B, T0, cfg.n_kv_heads, cfg.d_head)
+    k = llama.apply_rope(k, cos, sin)
+    kc = jax.lax.dynamic_update_slice_in_dim(
+        cache.k, k.transpose(0, 1, 3, 2, 4).astype(cache.k.dtype), 0, axis=3
+    )
+    vc = jax.lax.dynamic_update_slice_in_dim(
+        cache.v, v.transpose(0, 1, 3, 2, 4).astype(cache.v.dtype), 0, axis=3
+    )
+    return (
+        Fp16Cache(k=kc, v=vc, length=jnp.full_like(cache.length, T0)),
+        logits[:, -1].astype(jnp.float32),
+    )
+
+
+def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
+    """Single-token decode against the fp16 cache."""
+    B = token.shape[0]
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
+    G = H // Hkv
+    T = cache.k.shape[3]
+
+    x = jnp.take(params["embed"], token, axis=0)
+    cos, sin = llama.rope_cos_sin(jnp.asarray(pos, jnp.int32)[None], cfg)
+    valid = jnp.arange(T, dtype=jnp.int32) <= pos
+
+    def layer_fn(x, scanned):
+        lp = scanned["p"]
+        kc, vc = scanned["k"], scanned["v"]
+        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(B, Hkv, G, Dh).astype(jnp.float32)
+        k = (h @ lp["wk"]).reshape(B, Hkv, Dh).astype(jnp.float32)
+        v = (h @ lp["wv"]).reshape(B, Hkv, Dh)
+
+        q = q * cos + llama.rotate_half(q) * sin
+        k = k * cos + llama.rotate_half(k) * sin
+
+        kc = jax.lax.dynamic_update_slice_in_dim(
+            kc, k[:, :, None].astype(kc.dtype), pos, axis=2
+        )
+        vc = jax.lax.dynamic_update_slice_in_dim(
+            vc, v[:, :, None].astype(vc.dtype), pos, axis=2
+        )
+
+        scores = jnp.einsum(
+            "bhgd,bhtd->bhgt", q, kc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) / (Dh**0.5)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum(
+            "bhgt,bhtd->bhgd", probs, vc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
+        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return x, (kc, vc)
+
+    scanned = {"p": params["layers"], "k": cache.k, "v": cache.v}
+    x, (kc, vc) = jax.lax.scan(layer_fn, x, scanned)
+
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+    new_cache = Fp16Cache(k=kc, v=vc, length=jnp.full_like(cache.length, pos + 1))
+    return new_cache, logits

@@ -1,0 +1,109 @@
+"""Sharding rules: tensor-parallel weights + head-sharded quantized KV cache.
+
+Layout (Megatron-style column/row split, expressed as GSPMD shardings — XLA
+inserts the psum on each row-sharded output projection):
+
+  wq/wk/wv  (L, D, H*Dh)   -> (None, None, "tp")   heads sharded
+  wo        (L, H*Dh, D)   -> (None, "tp", None)   row-sharded (psum after)
+  w_gate/up (L, D, F)      -> (None, None, "tp")
+  w_down    (L, F, D)      -> (None, "tp", None)
+  embed / norms / lm_head  -> replicated (vocab is small relative to KV at
+                              the contexts this framework targets)
+
+Quantized cache (kvquant_tpu.cache.KVCache): every array shards batch over
+"dp"; packed planes and sinks additionally shard the kv-head axis over "tp".
+The fixed-budget outlier rows index channels globally (C = Hkv*D) so they
+stay head-replicated; the Pallas outlier kernel slices its head's channel
+range locally. The per-layer quantizer arrays shard k_range/k_offset over
+heads; thresholds/LUTs are tiny and replicate.
+
+This mirrors the SURVEY.md §2.3 note: the reference has no tensor
+parallelism at all — this module is new TPU-first design, not translation.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cache import KVCache, DeployedQuant
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree matching the stacked-parameter pytree of
+    models.llama.init_params."""
+    rep = _ns(mesh)
+    layer_rules = dict(
+        wq=_ns(mesh, None, None, "tp"),
+        wk=_ns(mesh, None, None, "tp"),
+        wv=_ns(mesh, None, None, "tp"),
+        wo=_ns(mesh, None, "tp", None),
+        w_gate=_ns(mesh, None, None, "tp"),
+        w_up=_ns(mesh, None, None, "tp"),
+        w_down=_ns(mesh, None, "tp", None),
+        ln_attn=rep,
+        ln_mlp=rep,
+    )
+    out = dict(
+        embed=rep,
+        final_norm=rep,
+        layers={k: layer_rules[k] for k in params["layers"]},
+    )
+    if "lm_head" in params:
+        out["lm_head"] = rep
+    return out
+
+
+def cache_shardings(mesh: Mesh) -> KVCache:
+    """Sharding pytree for KVCache: (L, B, Hkv, ...) arrays shard B over dp
+    and Hkv over tp; per-token rows shard only B."""
+    return KVCache(
+        k_planes=_ns(mesh, None, "dp", "tp"),
+        v_planes=_ns(mesh, None, "dp", "tp"),
+        k_ovals=_ns(mesh, None, "dp"),
+        k_oidx=_ns(mesh, None, "dp"),
+        v_ovals=_ns(mesh, None, "dp"),
+        v_oidx=_ns(mesh, None, "dp"),
+        v_scale=_ns(mesh, None, "dp"),
+        v_offset=_ns(mesh, None, "dp"),
+        k_sink=_ns(mesh, None, "dp", "tp"),
+        v_sink=_ns(mesh, None, "dp", "tp"),
+        length=_ns(mesh, "dp"),
+    )
+
+
+def quant_shardings(mesh: Mesh) -> DeployedQuant:
+    """DeployedQuant: per-channel ranges shard kv heads over tp; LUTs and
+    flat thresholds are tiny — replicate."""
+    rep = _ns(mesh)
+    return DeployedQuant(
+        k_range=_ns(mesh, None, "tp", None),
+        k_offset=_ns(mesh, None, "tp", None),
+        k_lower=rep,
+        k_upper=rep,
+        k_lut_enc=rep,
+        k_lut_dec=rep,
+        v_lut_enc=rep,
+        v_lut_dec=rep,
+    )
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Token batches shard over dp."""
+    return _ns(mesh, "dp")
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
+    return jax.device_put(cache, cache_shardings(mesh))
+
+
+def shard_quant(mesh: Mesh, dq: DeployedQuant) -> DeployedQuant:
+    return jax.device_put(dq, quant_shardings(mesh))

@@ -1,0 +1,123 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: tensor-parallel
+weights + head-sharded quantized cache must produce the same numbers as the
+single-device path, and the sharded Fisher step must run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kvquant_tpu import engine
+from kvquant_tpu.cache import DeployConfig, create_cache, deployed_from_quantizers
+from kvquant_tpu.fisher.fisher import clm_loss
+from kvquant_tpu.models import TINY_LLAMA, init_params
+from kvquant_tpu.models import llama
+from kvquant_tpu.parallel import (
+    make_mesh, shard_params, shard_cache, shard_quant, data_sharding,
+)
+from kvquant_tpu.quant.artifacts import (
+    KQuantizer, VQuantizer, LayerQuantizers, QuantizerSet,
+)
+from kvquant_tpu.quant.nuq import nf_signposts
+
+
+def _toy_qs(cfg, bits=4):
+    rng = np.random.default_rng(0)
+    lut = nf_signposts(bits)
+    layers = []
+    for _ in range(cfg.n_layers):
+        u = (np.abs(rng.normal(size=cfg.kv_hidden)) * 2 + 1).astype(np.float32)
+        layers.append(LayerQuantizers(
+            k=KQuantizer(upper=u, lower=(-u * 0.9).astype(np.float32), lut=lut.copy()),
+            v=VQuantizer(lut=lut.copy()),
+        ))
+    return QuantizerSet(layers=layers, bits=bits, sparsity_threshold=0.99,
+                        cap_outliers=True, first_few_fp16=5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_LLAMA  # 4 kv heads -> tp=4
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qs = _toy_qs(cfg)
+    dcfg = DeployConfig.create(
+        bits=4, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head, max_len=69, sink=5,
+    )
+    dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+    return cfg, params, dcfg, dq
+
+
+class TestShardedDecode:
+    def test_matches_single_device(self, setup):
+        cfg, params, dcfg, dq = setup
+        B = 2
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 16), 0, cfg.vocab_size)
+
+        # single-device reference
+        cache0 = create_cache(dcfg, cfg.n_layers, B)
+        cache0, logits0 = engine.prefill(params, cfg, dcfg, dq, cache0, prompt)
+        cache0, dec0 = engine.decode_step(
+            params, cfg, dcfg, dq, cache0,
+            jnp.argmax(logits0, -1).astype(jnp.int32), jnp.int32(16),
+        )
+
+        # sharded: dp=2 x tp=4
+        mesh = make_mesh(dp=2, tp=4)
+        p_s = shard_params(mesh, params)
+        dq_s = shard_quant(mesh, dq)
+        cache_s = shard_cache(mesh, create_cache(dcfg, cfg.n_layers, B))
+        prompt_s = jax.device_put(prompt, data_sharding(mesh))
+
+        cache_s, logits_s = jax.jit(
+            lambda p, d, c, t: engine.prefill(p, cfg, dcfg, d, c, t)
+        )(p_s, dq_s, cache_s, prompt_s)
+        np.testing.assert_allclose(
+            np.asarray(logits_s), np.asarray(logits0), atol=2e-4, rtol=1e-3
+        )
+
+        cache_s, dec_s = jax.jit(
+            lambda p, d, c, tok: engine.decode_step(p, cfg, dcfg, d, c, tok, jnp.int32(16))
+        )(p_s, dq_s, cache_s, jnp.argmax(logits_s, -1).astype(jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(dec_s), np.asarray(dec0), atol=2e-4, rtol=1e-3
+        )
+
+        # cache contents agree (packed codes exactly; fp arrays to tolerance)
+        for f in ["k_planes", "v_planes"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)), np.asarray(getattr(cache0, f)), f
+            )
+
+    def test_sharded_fisher_step(self, setup):
+        cfg, params, dcfg, dq = setup
+        mesh = make_mesh(dp=2, tp=4)
+        p_s = shard_params(mesh, params)
+        B, T = 2, 16
+        tokens = jax.device_put(
+            jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, cfg.vocab_size),
+            data_sharding(mesh),
+        )
+
+        def fisher_step(params, tokens):
+            probes = llama.make_kv_probes(cfg, B, T)
+            return jax.grad(
+                lambda pr: clm_loss(params, cfg, tokens, kv_probes=pr)
+            )(probes)
+
+        grads = jax.jit(fisher_step)(p_s, tokens)
+        assert grads["k"].shape == (cfg.n_layers, B, T, cfg.kv_hidden)
+        assert bool(jnp.isfinite(grads["k"]).all())
+        # must be nontrivial
+        assert float(jnp.abs(grads["k"]).max()) > 0
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        g.dryrun_multichip(8)
