@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..cache import KVCache, DeployConfig, DeployedQuant
 from ..models.config import ModelConfig
 from ..models.llama import rope_cos_sin, rotate_half
-from ..quant.nuq import nearest_codes
+from ..quant.nuq import nearest_codes, lut_lookup
 from .packing import pack_codes, unpack_codes, set_token_codes
 
 
@@ -56,7 +56,7 @@ def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
     hr = (lq.k_upper - lq.k_lower) * 0.5
     xn = (kf - zp) / hr
     codes = nearest_codes(xn, lq.k_lut_enc)
-    deq = jnp.take(lq.k_lut_dec, codes) * hr + zp
+    deq = lut_lookup(lq.k_lut_dec, codes) * hr + zp
 
     cap = dcfg.cap_per_side
     ovals = oidx = None
@@ -121,7 +121,12 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
 # ---------------------------------------------------------------------------
 
 def _scatter_outliers(ovals, oidx, n_kv_heads, d_head, Tc):
-    """(B, Tc, 2cap) sparse rows -> dense (B, Hkv, D, Tc) addend."""
+    """(B, Tc, 2cap) sparse rows -> dense (B, Hkv, D, Tc) addend.
+
+    NOTE: XLA scatter serializes on TPU (~10us per update row) — this is for
+    tests/introspection only; the decode path applies outliers with the
+    gather/one-hot formulations below.
+    """
     B = ovals.shape[0]
     C = n_kv_heads * d_head
     flat = jnp.zeros((B, C, Tc), jnp.float32)
@@ -131,13 +136,14 @@ def _scatter_outliers(ovals, oidx, n_kv_heads, d_head, Tc):
     return flat.reshape(B, n_kv_heads, d_head, Tc)
 
 
-def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig):
-    """(B, Hkv, D, Tc) fp32 pre-RoPE keys (dense + sparse)."""
+def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
+                   with_outliers: bool = True):
+    """(B, Hkv, D, Tc) fp32 pre-RoPE keys (dense [+ sparse])."""
     codes = unpack_codes(cache_l.k_planes, dcfg.bits)  # (B,Hkv,D,Tc)
-    deq = jnp.take(lq.k_lut_dec, codes) * lq.k_range[..., None] + (
+    deq = lut_lookup(lq.k_lut_dec, codes) * lq.k_range[..., None] + (
         lq.k_offset[..., None]
     )
-    if dcfg.include_sparse:
+    if dcfg.include_sparse and with_outliers:
         deq = deq + _scatter_outliers(
             cache_l.k_ovals, cache_l.k_oidx, dcfg.n_kv_heads, dcfg.d_head,
             dcfg.cache_tokens,
@@ -145,18 +151,99 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig):
     return deq
 
 
-def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig):
-    """(B, Hkv, D, Tc) fp32 values (dense + sparse)."""
+def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
+                   with_outliers: bool = True):
+    """(B, Hkv, D, Tc) fp32 values (dense [+ sparse])."""
     codes = unpack_codes(cache_l.v_planes, dcfg.bits)
-    deq = jnp.take(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, None, :] + (
+    deq = lut_lookup(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, None, :] + (
         cache_l.v_offset[:, None, None, :]
     )
-    if dcfg.include_sparse:
+    if dcfg.include_sparse and with_outliers:
         deq = deq + _scatter_outliers(
             cache_l.v_ovals, cache_l.v_oidx, dcfg.n_kv_heads, dcfg.d_head,
             dcfg.cache_tokens,
         )
     return deq
+
+
+# ---------------------------------------------------------------------------
+# scatter-free outlier application (the reference's SPMV_ATOMIC_ROPE_BALANCED
+# / SPMV_ATOMIC_BALANCED kernels, quant_cuda_kernel.cu:437-521, recast as
+# dense gathers + tiny one-hot contractions — XLA scatter serializes on TPU)
+# ---------------------------------------------------------------------------
+
+
+def k_outlier_scores(q_rot, k_ovals, k_oidx, dcfg: DeployConfig,
+                     mcfg: ModelConfig):
+    """Score contribution of the sparse Key outliers, with RoPE applied
+    analytically to each outlier element.
+
+    RoPE is linear: with R(t) = diag(cos) + diag(sin)·P (P = rotate-half),
+    an outlier delta val·e_c at cache slot t contributes
+      q_rot · R(t) (val e_c) = val · (R(t)^T q_rot)[c]
+                             = val · (cosθ·q[c] + sgn(d)·sinθ·q[c']),
+    where d = c mod Dh, c' is the rotate-half partner channel, and
+    sgn = +1 for d < Dh/2 else -1 (P^T = -P).
+
+    q_rot: (B, Hkv, G, Dh) roped query; k_ovals/k_oidx: (B, Tc, J).
+    Returns (B, Hkv, G, Tc), unscaled (caller applies 1/sqrt(Dh)).
+    """
+    B, Hkv, G, Dh = q_rot.shape
+    Tc, J = k_ovals.shape[1:]
+    half = Dh // 2
+    S = dcfg.sink
+
+    c = k_oidx  # (B, Tc, J)
+    d = c % Dh
+    h = c // Dh
+    sign = jnp.where(d < half, 1.0, -1.0)
+    partner = jnp.where(d < half, d + half, d - half)
+
+    # inv_freq computed analytically from the outlier's dim (a gather from
+    # even a 64-entry table serializes on TPU)
+    inv_freq = mcfg.rope_theta ** (
+        -(d % half).astype(jnp.float32) * 2.0 / Dh
+    )  # (B, Tc, J)
+    pos = (S + jnp.arange(Tc, dtype=jnp.float32))[None, :, None]
+    theta = (pos / mcfg.rope_scaling) * inv_freq
+    cost, sint = jnp.cos(theta), jnp.sin(theta)  # (B, Tc, J)
+
+    # q values at the outlier dims via one-hot MXU contractions (no gathers)
+    dimoh = (d[..., None] == jnp.arange(Dh)).astype(jnp.float32)  # (B,Tc,J,Dh)
+    poh = (partner[..., None] == jnp.arange(Dh)).astype(jnp.float32)
+    q_d = jnp.einsum("btjd,bhgd->bhgtj", dimoh, q_rot)
+    q_p = jnp.einsum("btjd,bhgd->bhgtj", poh, q_rot)
+
+    term = k_ovals[:, None, None] * (
+        cost[:, None, None] * q_d + (sign * sint)[:, None, None] * q_p
+    )  # (B, Hkv, G, Tc, J)
+
+    headoh = (h[..., None] == jnp.arange(Hkv)).astype(jnp.float32)
+    return jnp.einsum("bhgtj,btjh->bhgt", term, headoh)
+
+
+def v_outlier_out(p_dense, v_ovals, v_oidx, dcfg: DeployConfig):
+    """Output contribution of the sparse Value outliers.
+
+    p_dense: (B, Hkv, G, Tc) softmax weights over packed positions.
+    Returns (B, Hkv, G, Dh).
+    """
+    B, Hkv, G, Tc = p_dense.shape
+    Dh = dcfg.d_head
+    J = v_ovals.shape[-1]
+
+    c = v_oidx
+    d = c % Dh
+    h = c // Dh
+
+    headoh = (h[..., None] == jnp.arange(Hkv)).astype(jnp.float32)
+    # p at the outlier's head, via one-hot contraction (no gathers)
+    p_at = jnp.einsum("bhgt,btjh->bgtj", p_dense, headoh)
+    w = p_at * v_ovals[:, None]
+
+    u = jnp.einsum("bgtj,btjh->bhgtj", w, headoh)
+    dimoh = (d[..., None] == jnp.arange(Dh)).astype(jnp.float32)
+    return jnp.einsum("bhgtj,btjd->bhgd", u, dimoh)
 
 
 # ---------------------------------------------------------------------------
@@ -229,12 +316,15 @@ def decode_attention(
         v_scale=cache_l.v_scale, v_offset=cache_l.v_offset, k_sink=k_sink,
         v_sink=v_sink, length=cache_l.length,
     )
-    k_full = dequant_k_full(cache_tmp, lq, dcfg)  # (B,Hkv,D,Tc)
+    k_full = dequant_k_full(cache_tmp, lq, dcfg, with_outliers=False)
     pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
     ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
     kx = k_full * ck.T[None, None] + rotate_half_axis(k_full, axis=-2) * sk.T[None, None]
 
-    dense = jnp.einsum("bhgd,bhdt->bhgt", q_rot, kx) * inv
+    dense = jnp.einsum("bhgd,bhdt->bhgt", q_rot, kx)
+    if dcfg.include_sparse:
+        dense = dense + k_outlier_scores(q_rot, k_ov, k_oi, dcfg, mcfg)
+    dense = dense * inv
     scores = dense
     if S > 0:
         sink_sc = jnp.einsum("bhgd,bhsd->bhgs", q_rot, k_sink) * inv
@@ -268,9 +358,11 @@ def decode_attention(
     )
 
     # ---- weighted values ----
-    v_full = dequant_v_full(new_cache, lq, dcfg)  # (B,Hkv,D,Tc)
+    v_full = dequant_v_full(new_cache, lq, dcfg, with_outliers=False)
     p_dense = probs[..., S:] if S > 0 else probs
     out = jnp.einsum("bhgt,bhdt->bhgd", p_dense, v_full)
+    if dcfg.include_sparse:
+        out = out + v_outlier_out(p_dense, new_cache.v_ovals, new_cache.v_oidx, dcfg)
     if S > 0:
         out = out + jnp.einsum("bhgs,bhsd->bhgd", probs[..., :S], v_sink)
     return new_cache, out.reshape(B, Hkv * G, Dh)

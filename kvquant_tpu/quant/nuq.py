@@ -30,16 +30,33 @@ def nearest_codes(x: jax.Array, lut: jax.Array) -> jax.Array:
 
     ``lut`` must be sorted ascending (we sort codebooks once at build time,
     mirroring the reference's sort at deployment-load,
-    deployment modeling_llama.py:452). Uses midpoint search rather than an
-    argmin over |x - lut| so no (…, 2^bits) temporary is materialized.
+    deployment modeling_llama.py:452).
+
+    TPU note: implemented as 2^bits-1 vectorized midpoint compares summed on
+    the VPU — searchsorted/gather formulations serialize per element on TPU
+    and are orders of magnitude slower for tiny tables.
     """
-    mids = (lut[1:] + lut[:-1]) * 0.5
-    return jnp.searchsorted(mids, x, side="left").astype(jnp.int32)
+    K = lut.shape[-1]
+    code = jnp.zeros(x.shape, jnp.int32)
+    for i in range(K - 1):
+        mid = (lut[i] + lut[i + 1]) * 0.5
+        code += (x > mid).astype(jnp.int32)
+    return code
+
+
+def lut_lookup(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """``lut[codes]`` for a tiny (2^bits) table, as a fused select chain on
+    the VPU instead of a serialized TPU gather."""
+    K = lut.shape[-1]
+    out = jnp.zeros(codes.shape, jnp.float32) + lut[0]
+    for i in range(1, K):
+        out = jnp.where(codes == i, lut[i], out)
+    return out
 
 
 def nearest_values(x: jax.Array, lut: jax.Array) -> jax.Array:
     """Round every element of ``x`` to its nearest entry of sorted ``lut``."""
-    return jnp.take(lut, nearest_codes(x, lut))
+    return lut_lookup(lut, nearest_codes(x, lut))
 
 
 def nf_signposts(bits: int) -> np.ndarray:

@@ -280,3 +280,60 @@ class TestDecodeEquivalence:
         # paper: 4.8x reduction at 3-bit + 1% outliers (lwm/README.md:5)
         assert acct["ratio"] > 4.0
         assert acct["fp16_baseline"] == 2 * 32 * 4096 * 2**20 * 2
+
+
+class TestScatterFreeOutliers:
+    """The decode path applies outliers via gathers + one-hot contractions;
+    they must agree exactly with the dense scatter formulation."""
+
+    def _cache_with_outliers(self, bits=4, seed=9):
+        dcfg, lq, arrs, scfg = setup(bits, max_len=37 + 5)
+        rng = np.random.default_rng(seed)
+        B, T = 2, 20
+        k = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32) * 2)
+        v = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+        cache = create_cache(dcfg, 1, B).layer(0)
+        cache = deployed.prefill_pack(cache, lq, dcfg, MCFG, k, v)
+        return dcfg, lq, cache, rng
+
+    def test_k_outlier_scores_match_scatter(self):
+        dcfg, lq, cache, rng = self._cache_with_outliers()
+        B, Tc = cache.k_ovals.shape[:2]
+        G = 4 // HKV
+        q_rot = jnp.array(rng.normal(size=(B, HKV, G, DH)).astype(np.float32))
+
+        # scatter reference: rope the scattered outlier addend, then matmul
+        from kvquant_tpu.models.llama import rope_cos_sin
+        addend = deployed._scatter_outliers(
+            cache.k_ovals, cache.k_oidx, HKV, DH, Tc
+        )  # (B,HKV,DH,Tc) pre-RoPE
+        ck, sk = rope_cos_sin(
+            dcfg.sink + jnp.arange(Tc, dtype=jnp.int32), MCFG
+        )
+        roped = addend * ck.T[None, None] + deployed.rotate_half_axis(
+            addend, axis=-2
+        ) * sk.T[None, None]
+        want = jnp.einsum("bhgd,bhdt->bhgt", q_rot, roped)
+
+        got = deployed.k_outlier_scores(
+            q_rot, cache.k_ovals, cache.k_oidx, dcfg, MCFG
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
+
+    def test_v_outlier_out_matches_scatter(self):
+        dcfg, lq, cache, rng = self._cache_with_outliers()
+        B, Tc = cache.v_ovals.shape[:2]
+        G = 4 // HKV
+        p = jax.nn.softmax(
+            jnp.array(rng.normal(size=(B, HKV, G, Tc)).astype(np.float32)), -1
+        )
+        addend = deployed._scatter_outliers(
+            cache.v_ovals, cache.v_oidx, HKV, DH, Tc
+        )
+        want = jnp.einsum("bhgt,bhdt->bhgd", p, addend)
+        got = deployed.v_outlier_out(p, cache.v_ovals, cache.v_oidx, dcfg)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
+        )
