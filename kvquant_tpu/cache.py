@@ -3,8 +3,9 @@
 Replaces the reference's stateful QuantK/QuantV modules (deployment
 modeling_llama.py:352/:978). Per layer (all arrays carry leading (L, B)):
 
-  k_planes / v_planes : (L,B,Hkv,D,bits,TW) int32   bit-plane packed codes,
-                        token axis last (TW = cache_tokens/32 words)
+  k_planes / v_planes : (L,B,Hkv,bits,TW,D) int32   bit-plane packed codes,
+                        head_dim last (TW = cache_tokens/32 word rows; see
+                        ops/packing.py for the group layout)
   k_ovals / k_oidx    : (L,B,Tc,2*cap) fp32/int32   fixed-budget Key outliers
                         (value minus its dense dequant; channel index over
                         C = Hkv*D), mirroring the 42-slot rows at
@@ -49,6 +50,7 @@ class DeployConfig:
     sink: int = 5  # first_few_fp16
     sparsity_threshold: float = 0.99
     include_sparse: bool = True
+    kernel: str = "xla"  # "xla" (reference datapath) or "pallas" (fused)
 
     @property
     def kv_hidden(self) -> int:
@@ -56,9 +58,11 @@ class DeployConfig:
 
     @property
     def cache_tokens(self) -> int:
-        """Packed-cache capacity (multiple of 32)."""
+        """Packed-cache capacity (multiple of 256: Pallas token blocks need
+        >= 8 word rows per block — the (8, 128) sublane/lane tile — and one
+        word row packs 32 tokens)."""
         t = self.max_len - self.sink
-        return ((t + 31) // 32) * 32
+        return ((t + 255) // 256) * 256
 
     @property
     def n_slots(self) -> int:
@@ -66,14 +70,14 @@ class DeployConfig:
 
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
-               sparsity_threshold=0.99, include_sparse=True):
+               sparsity_threshold=0.99, include_sparse=True, kernel="xla"):
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
             cap_per_side=outlier_budget_per_side(
                 n_kv_heads * d_head, sparsity_threshold
             ),
             sink=sink, sparsity_threshold=sparsity_threshold,
-            include_sparse=include_sparse,
+            include_sparse=include_sparse, kernel=kernel,
         )
 
 
@@ -109,8 +113,8 @@ def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
         return jnp.zeros(shape, dt)
 
     return KVCache(
-        k_planes=z((L, B, H, D, dcfg.bits, TW), jnp.int32),
-        v_planes=z((L, B, H, D, dcfg.bits, TW), jnp.int32),
+        k_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
+        v_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
         k_ovals=z((L, B, Tc, ns), jnp.float32),
         k_oidx=z((L, B, Tc, ns), jnp.int32),
         v_ovals=z((L, B, Tc, ns), jnp.float32),

@@ -121,7 +121,7 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
 # ---------------------------------------------------------------------------
 
 def _scatter_outliers(ovals, oidx, n_kv_heads, d_head, Tc):
-    """(B, Tc, 2cap) sparse rows -> dense (B, Hkv, D, Tc) addend.
+    """(B, Tc, 2cap) sparse rows -> dense (B, Hkv, Tc, D) addend.
 
     NOTE: XLA scatter serializes on TPU (~10us per update row) — this is for
     tests/introspection only; the decode path applies outliers with the
@@ -129,19 +129,19 @@ def _scatter_outliers(ovals, oidx, n_kv_heads, d_head, Tc):
     """
     B = ovals.shape[0]
     C = n_kv_heads * d_head
-    flat = jnp.zeros((B, C, Tc), jnp.float32)
+    flat = jnp.zeros((B, Tc, C), jnp.float32)
     b_ix = jnp.arange(B)[:, None, None]
     t_ix = jnp.arange(Tc)[None, :, None]
-    flat = flat.at[b_ix, oidx, t_ix].add(ovals)
-    return flat.reshape(B, n_kv_heads, d_head, Tc)
+    flat = flat.at[b_ix, t_ix, oidx].add(ovals)
+    return flat.reshape(B, Tc, n_kv_heads, d_head).transpose(0, 2, 1, 3)
 
 
 def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
                    with_outliers: bool = True):
-    """(B, Hkv, D, Tc) fp32 pre-RoPE keys (dense [+ sparse])."""
-    codes = unpack_codes(cache_l.k_planes, dcfg.bits)  # (B,Hkv,D,Tc)
-    deq = lut_lookup(lq.k_lut_dec, codes) * lq.k_range[..., None] + (
-        lq.k_offset[..., None]
+    """(B, Hkv, Tc, D) fp32 pre-RoPE keys (dense [+ sparse])."""
+    codes = unpack_codes(cache_l.k_planes, dcfg.bits)  # (B,Hkv,Tc,D)
+    deq = lut_lookup(lq.k_lut_dec, codes) * lq.k_range[:, None, :] + (
+        lq.k_offset[:, None, :]
     )
     if dcfg.include_sparse and with_outliers:
         deq = deq + _scatter_outliers(
@@ -153,10 +153,10 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
 
 def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
                    with_outliers: bool = True):
-    """(B, Hkv, D, Tc) fp32 values (dense [+ sparse])."""
+    """(B, Hkv, Tc, D) fp32 values (dense [+ sparse])."""
     codes = unpack_codes(cache_l.v_planes, dcfg.bits)
-    deq = lut_lookup(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, None, :] + (
-        cache_l.v_offset[:, None, None, :]
+    deq = lut_lookup(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, :, None] + (
+        cache_l.v_offset[:, None, :, None]
     )
     if dcfg.include_sparse and with_outliers:
         deq = deq + _scatter_outliers(
@@ -316,12 +316,20 @@ def decode_attention(
         v_scale=cache_l.v_scale, v_offset=cache_l.v_offset, k_sink=k_sink,
         v_sink=v_sink, length=cache_l.length,
     )
-    k_full = dequant_k_full(cache_tmp, lq, dcfg, with_outliers=False)
-    pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
-    ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
-    kx = k_full * ck.T[None, None] + rotate_half_axis(k_full, axis=-2) * sk.T[None, None]
+    if dcfg.kernel == "pallas":
+        from .pallas import qk_fused
 
-    dense = jnp.einsum("bhgd,bhdt->bhgt", q_rot, kx)
+        dense = jax.vmap(
+            lambda q1, kp1: qk_fused(
+                q1, kp1, lq.k_range, lq.k_offset, lq.k_lut_dec, dcfg, mcfg
+            )
+        )(q_rot, k_planes)
+    else:
+        k_full = dequant_k_full(cache_tmp, lq, dcfg, with_outliers=False)
+        pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
+        ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
+        kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
+        dense = jnp.einsum("bhgd,bhtd->bhgt", q_rot, kx)
     if dcfg.include_sparse:
         dense = dense + k_outlier_scores(q_rot, k_ov, k_oi, dcfg, mcfg)
     dense = dense * inv
@@ -358,9 +366,18 @@ def decode_attention(
     )
 
     # ---- weighted values ----
-    v_full = dequant_v_full(new_cache, lq, dcfg, with_outliers=False)
     p_dense = probs[..., S:] if S > 0 else probs
-    out = jnp.einsum("bhgt,bhdt->bhgd", p_dense, v_full)
+    if dcfg.kernel == "pallas":
+        from .pallas import pv_fused
+
+        out = jax.vmap(
+            lambda p1, vp1, sc1, of1: pv_fused(
+                p1, vp1, sc1, of1, lq.v_lut_dec, dcfg
+            )
+        )(p_dense, v_planes, v_scale, v_offset)
+    else:
+        v_full = dequant_v_full(new_cache, lq, dcfg, with_outliers=False)
+        out = jnp.einsum("bhgt,bhtd->bhgd", p_dense, v_full)
     if dcfg.include_sparse:
         out = out + v_outlier_out(p_dense, new_cache.v_ovals, new_cache.v_oidx, dcfg)
     if S > 0:
@@ -389,7 +406,7 @@ def prefill_pack(
     Hkv, Dh = dcfg.n_kv_heads, dcfg.d_head
     assert T0 > S, "prompt must extend beyond the sink prefix"
     Tp = T0 - S
-    Tpad = ((Tp + 31) // 32) * 32
+    Tpad = ((Tp + 127) // 128) * 128
     assert Tp <= Tc
 
     k_sink = cache_l.k_sink
@@ -402,11 +419,11 @@ def prefill_pack(
         v_sink = v[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32).transpose(0, 2, 1, 3)
 
     def place(planes, codes):
-        # codes (B, Tp, Hkv, D) -> planes words [0 : Tpad/32)
-        c = codes.transpose(0, 2, 3, 1)  # (B,Hkv,D,Tp)
-        c = jnp.pad(c, ((0, 0),) * 3 + ((0, Tpad - Tp),))
-        words = pack_codes(c, dcfg.bits)  # (B,Hkv,D,bits,Tpad/32)
-        return jax.lax.dynamic_update_slice_in_dim(planes, words, 0, axis=-1)
+        # codes (B, Tp, Hkv, D) -> planes word rows [0 : Tpad/32)
+        c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tp,D)
+        c = jnp.pad(c, ((0, 0),) * 2 + ((0, Tpad - Tp), (0, 0)))
+        words = pack_codes(c, dcfg.bits)  # (B,Hkv,bits,Tpad/32,D)
+        return jax.lax.dynamic_update_slice_in_dim(planes, words, 0, axis=-2)
 
     def place_rows(arr, rows):
         return jax.lax.dynamic_update_slice_in_dim(

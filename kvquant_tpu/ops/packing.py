@@ -6,18 +6,19 @@ feature axis (cache (H, D/32*bits, max_len), quant_cuda_kernel.cu:1202-1245),
 which needs cross-word bit arithmetic for 3-bit and makes the packed feature
 dim tiny (12-16 words) — a bad lane dimension for TPU tiling.
 
-Here codes are stored as ``bits`` separate bit-planes packed along the TOKEN
-axis: plane b, word w holds bit b of the codes of tokens 32w..32w+31. So the
-cache is (..., bits, D, T/32) int32 with the long token axis last (lane
-dimension), and
+Here the packed cache is (..., bits, TW, D) int32 — head_dim last (one full
+lane tile), bit-planes packed along the TOKEN axis in 128-token groups:
+within group g = t // 128, token t lives in word row ``g*4 + t % 4`` at bit
+``(t % 128) // 4``. The mapping is chosen so a Pallas kernel reconstructs a
+group's 128 token rows with a single ``pltpu.repeat(words[4, D], 32,
+axis=0)`` (tile semantics: row r <- word r % 4) plus a variable right-shift
+by ``row // 4`` — branch-free VPU work.
 
+Properties:
   - any bit width {2,3,4,...} packs at exact density with identical code
-  - unpack is branch-free VPU work: broadcast each word over 32 lanes,
-    variable right-shift by lane index, mask, weighted-sum the planes
-  - a single token's append touches one word column (read-modify-write of
-    (..., bits, D, 1)), a static-shape dynamic_update_slice
-
-Bit packing within a word is little-endian: token 32w+j -> bit j.
+  - a single token's append touches one word row (read-modify-write of a
+    contiguous (..., bits, 1, D) slice), a static-shape dynamic_update_slice
+  - Pallas blocks (1, bits, BT/32, D) satisfy the (8, 128) tiling rule
 """
 
 from __future__ import annotations
@@ -25,53 +26,71 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+GROUP = 128  # tokens per packing group (one lane tile)
+WPG = 4  # int32 words per group
+
+
+def token_word_bit(pos):
+    """Word row index and bit position of token ``pos``."""
+    g = pos // GROUP
+    r = pos % GROUP
+    return g * WPG + r % WPG, r // WPG
+
 
 def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
-    """codes (..., T) int32 in [0, 2**bits) with T % 32 == 0
-    -> planes (..., bits, T//32) int32."""
-    *lead, T = codes.shape
-    assert T % 32 == 0, f"token axis must be a multiple of 32, got {T}"
-    c = codes.astype(jnp.uint32).reshape(*lead, T // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    """codes (..., T, D) int32 in [0, 2**bits) with T % 128 == 0
+    -> planes (..., bits, T//32, D) int32."""
+    *lead, T, D = codes.shape
+    assert T % GROUP == 0, f"token axis must be a multiple of {GROUP}, got {T}"
+    # (..., g, j, w, D): token t = g*128 + j*4 + w
+    c = codes.astype(jnp.uint32).reshape(
+        *lead, T // GROUP, GROUP // WPG, WPG, D
+    )
+    weights = (jnp.uint32(1) << jnp.arange(GROUP // WPG, dtype=jnp.uint32))
     planes = []
     for b in range(bits):
         bitvals = (c >> b) & jnp.uint32(1)
-        planes.append(jnp.sum(bitvals * weights, axis=-1, dtype=jnp.uint32))
-    return jnp.stack(planes, axis=-2).astype(jnp.int32)
+        words = jnp.sum(
+            bitvals * weights[:, None, None], axis=-3, dtype=jnp.uint32
+        )  # (..., g, w, D)
+        planes.append(words.reshape(*lead, T // 32, D))
+    return jnp.stack(planes, axis=-3).astype(jnp.int32)
 
 
 def unpack_codes(planes: jax.Array, bits: int) -> jax.Array:
-    """planes (..., bits, TW) int32 -> codes (..., 32*TW) int32."""
-    *lead, b_dim, TW = planes.shape
-    assert b_dim == bits
-    words = planes.astype(jnp.uint32)[..., :, :, None]  # (..., bits, TW, 1)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bitvals = (words >> shifts) & jnp.uint32(1)  # (..., bits, TW, 32)
-    weights = (jnp.uint32(1) << jnp.arange(bits, dtype=jnp.uint32)).reshape(
-        (bits,) + (1,) * 2
+    """planes (..., bits, TW, D) int32 -> codes (..., 32*TW, D) int32."""
+    *lead, b_dim, TW, D = planes.shape
+    assert b_dim == bits and TW % WPG == 0
+    words = planes.astype(jnp.uint32).reshape(
+        *lead, bits, TW // WPG, 1, WPG, D
     )
-    codes = jnp.sum(bitvals * weights, axis=-3, dtype=jnp.uint32)
-    return codes.reshape(*lead, 32 * TW).astype(jnp.int32)
+    shifts = jnp.arange(GROUP // WPG, dtype=jnp.uint32).reshape(-1, 1, 1)
+    bitvals = (words >> shifts) & jnp.uint32(1)  # (..., bits, g, j, w, D)
+    weights = (jnp.uint32(1) << jnp.arange(bits, dtype=jnp.uint32)).reshape(
+        (bits,) + (1,) * 4
+    )
+    codes = jnp.sum(bitvals * weights, axis=-5, dtype=jnp.uint32)
+    return codes.reshape(*lead, 32 * TW, D).astype(jnp.int32)
 
 
 def set_token_codes(planes: jax.Array, codes: jax.Array, pos) -> jax.Array:
     """Write one token's codes at packed position ``pos``.
 
-    planes: (..., D, bits, TW) int32; codes: (..., D) int32; pos: scalar.
-    Clears then sets bit (pos % 32) of word column pos // 32 — a
-    read-modify-write of a (..., D, bits, 1) column that XLA keeps in place
-    when the cache buffer is donated.
+    planes: (..., bits, TW, D) int32; codes: (..., D) int32; pos: scalar.
+    Clears then sets the token's bit in its word row — a read-modify-write
+    of a contiguous (..., bits, 1, D) slice that XLA keeps in place when the
+    cache buffer is donated.
     """
-    bits = planes.shape[-2]
-    w = pos // 32
-    j = jnp.asarray(pos % 32, jnp.uint32)
+    bits = planes.shape[-3]
+    w, j = token_word_bit(pos)
+    j = jnp.asarray(j, jnp.uint32)
 
-    col = jax.lax.dynamic_slice_in_dim(planes, w, 1, axis=-1)  # (...,D,bits,1)
-    col = col.astype(jnp.uint32)
+    row = jax.lax.dynamic_slice_in_dim(planes, w, 1, axis=-2)  # (...,bits,1,D)
+    row = row.astype(jnp.uint32)
 
-    shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(bits, 1)  # (bits, 1)
-    bitvals = ((codes.astype(jnp.uint32)[..., None, None] >> shifts) & 1) << j
-    col = (col & ~(jnp.uint32(1) << j)) | bitvals
+    shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(bits, 1, 1)
+    bitvals = ((codes.astype(jnp.uint32)[..., None, None, :] >> shifts) & 1) << j
+    row = (row & ~(jnp.uint32(1) << j)) | bitvals
     return jax.lax.dynamic_update_slice_in_dim(
-        planes, col.astype(jnp.int32), w, axis=-1
+        planes, row.astype(jnp.int32), w, axis=-2
     )

@@ -1,0 +1,234 @@
+"""Pallas TPU kernels: fused dequant + RoPE + QK^T and fused score*V over the
+packed bit-plane KV cache.
+
+TPU-native equivalents of the reference CUDA kernels
+  vecquantNmatmul_nuq_perchannel_transposed_rope_mha_batched_fused_opt2
+  (quant_cuda_kernel.cu:3040-3209: shared-mem LUT dequant + on-the-fly RoPE
+  + matvec) and the value-side *_fused_opt kernels (:3211+).
+
+Design (vs the CUDA formulation):
+  - the packed cache never leaves HBM undequantized: each grid step DMAs a
+    (D, bits, BT/32) block of int32 bit-planes into VMEM (the compressed
+    bytes are the only HBM traffic for the cache), unpacks on the VPU with
+    shift/mask arithmetic, dequantizes via a 2^bits select chain (a gather
+    would serialize), applies RoPE analytically from the block's absolute
+    positions, and contracts on the MXU.
+  - atomicAdd accumulation (CUDA) becomes sequential grid accumulation into
+    the output block (PV kernel revisits its (G, D) output for every token
+    block of one head).
+  - the per-token V LUT of the reference ((max_len, 2^bits) fp32,
+    modeling_llama.py:1011) is factored as lut * scale[t] + offset[t]:
+    scale folds into the probability tile before the MXU dot and offset
+    contributes sum_t p[t]*offset[t] to every output dim.
+
+Outlier (dense-and-sparse) correction and attention sinks are applied
+outside by the caller (ops/deployed.py) — the same split as the reference's
+separate SPMV kernel launch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+GROUP = 128  # tokens per packing group (see ops/packing.py layout docs)
+WPG = 4
+
+
+def _unpack_block(words_u32, bits: int, D: int, BT: int):
+    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) int32 codes.
+
+    Per 128-token group: token row r holds word r % 4 (pltpu.repeat tile
+    semantics along sublanes) shifted right by r // 4 — the packing layout
+    is designed for exactly this reconstruction.
+    """
+    shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
+    groups = []
+    for g in range(BT // GROUP):
+        codes = jnp.zeros((GROUP, D), jnp.int32)
+        for b in range(bits):
+            w = pltpu.repeat(
+                words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
+            )
+            bit = (w >> shift) & jnp.uint32(1)
+            codes |= bit.astype(jnp.int32) << b
+        groups.append(codes)
+    return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+
+
+def _dequant_chain(codes, lut_ref, K: int):
+    """Select-chain LUT lookup: codes (D, BT) int32 -> fp32."""
+    x = jnp.full(codes.shape, lut_ref[0], jnp.float32)
+    for i in range(1, K):
+        x = jnp.where(codes == i, lut_ref[i], x)
+    return x
+
+
+def _rope_block(D: int, BT: int, t0, sink: int, theta: float, scaling: float):
+    """cos/sin (BT, D) for cache block starting at packed index t0.
+    Absolute position of packed index t is sink + t."""
+    half = D // 2
+    d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+    t = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 0) + t0
+    inv_freq = theta ** (-(d % half).astype(jnp.float32) * 2.0 / D)
+    ang = ((sink + t).astype(jnp.float32) / scaling) * inv_freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _pick_bt(Tc: int, block_tokens: int) -> int:
+    BT = min(block_tokens, Tc)
+    while Tc % BT:
+        BT //= 2
+    # >= 8 word rows per block: the Mosaic (8, 128) sublane/lane tile rule
+    assert BT % 256 == 0, (Tc, block_tokens)
+    return BT
+
+
+# ---------------------------------------------------------------------------
+# fused dequant + RoPE + QK^T
+# ---------------------------------------------------------------------------
+
+
+def _qk_kernel(q_ref, planes_ref, rng_ref, off_ref, lut_ref, out_ref,
+               *, bits, D, BT, K, sink, theta, scaling):
+    tb = pl.program_id(1)
+    words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
+    codes = _unpack_block(words, bits, D, BT)  # (BT, D)
+    k = _dequant_chain(codes, lut_ref, K)
+    k = k * rng_ref[0] + off_ref[0]  # (1, D) ranges broadcast over BT
+
+    cos, sin = _rope_block(D, BT, tb * BT, sink, theta, scaling)
+    half = D // 2
+    k_rot = jnp.concatenate([-k[:, half:], k[:, :half]], axis=1)
+    kx = k * cos + k_rot * sin  # (BT, D)
+
+    out_ref[0] = jax.lax.dot_general(
+        q_ref[0], kx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, BT)
+
+
+def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
+             block_tokens: int = 512):
+    """scores (Hkv, G, Tc) = q_rot (Hkv, G, D) . rope(dequant(k_planes)).
+
+    k_planes: (Hkv, bits, TW, D) int32; k_range/k_offset: (Hkv, D);
+    lut: (2**bits,) fp32 sorted. Unscaled scores (caller applies 1/sqrt(D)
+    and validity masking). Single-batch: vmap for B > 1.
+    """
+    Hkv, G, D = q_rot.shape
+    bits = dcfg.bits
+    TW = k_planes.shape[-2]
+    Tc = TW * 32
+    BT = _pick_bt(Tc, block_tokens)
+    K = 2 ** bits
+
+    kern = functools.partial(
+        _qk_kernel, bits=bits, D=D, BT=BT, K=K, sink=dcfg.sink,
+        theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
+    )
+    grid = (Hkv, Tc // BT)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, D), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, BT), lambda h, t: (h, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hkv, G, Tc), jnp.float32),
+        interpret=_interpret(),
+    )(
+        q_rot.astype(jnp.float32),
+        k_planes,
+        k_range.astype(jnp.float32)[:, None, :],
+        k_offset.astype(jnp.float32)[:, None, :],
+        lut.astype(jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused score * V
+# ---------------------------------------------------------------------------
+
+
+def _pv_kernel(p_ref, planes_ref, sc_ref, off_ref, lut_ref, out_ref,
+               *, bits, D, BT, K):
+    tb = pl.program_id(1)
+    words = planes_ref[0].astype(jnp.uint32)
+    codes = _unpack_block(words, bits, D, BT)
+    deq = _dequant_chain(codes, lut_ref, K)  # (BT, D) normalized values
+
+    p = p_ref[0]  # (G, BT)
+    ps = p * sc_ref[0]  # scale folded into probabilities, (G, BT)
+    tile = jax.lax.dot_general(
+        ps, deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, D)
+    # per-token offset contributes to every output dim
+    tile = tile + jnp.sum(p * off_ref[0], axis=1, keepdims=True)
+
+    @pl.when(tb == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += tile
+
+
+def pv_fused(probs, v_planes, v_scale, v_offset, lut, dcfg,
+             block_tokens: int = 512):
+    """out (Hkv, G, D) = probs (Hkv, G, Tc) . dequant(v_planes).
+
+    v_planes: (Hkv, bits, TW, D); v_scale/v_offset: (Tc,) per-token range.
+    probs must already be zero at invalid positions. Single-batch.
+    """
+    Hkv, G, Tc = probs.shape
+    D = v_planes.shape[-1]
+    bits = dcfg.bits
+    BT = _pick_bt(Tc, block_tokens)
+    K = 2 ** bits
+
+    kern = functools.partial(_pv_kernel, bits=bits, D=D, BT=BT, K=K)
+    grid = (Hkv, Tc // BT)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, BT), lambda h, t: (h, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT), lambda h, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT), lambda h, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, D), lambda h, t: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hkv, G, D), jnp.float32),
+        interpret=_interpret(),
+    )(
+        probs.astype(jnp.float32),
+        v_planes,
+        v_scale.astype(jnp.float32)[None, :],
+        v_offset.astype(jnp.float32)[None, :],
+        lut.astype(jnp.float32),
+    )

@@ -102,31 +102,31 @@ class TestPacking:
     @pytest.mark.parametrize("bits", [2, 3, 4])
     def test_roundtrip(self, bits):
         rng = np.random.default_rng(0)
-        codes = rng.integers(0, 2**bits, size=(3, 5, 64)).astype(np.int32)
+        codes = rng.integers(0, 2**bits, size=(3, 128, 8)).astype(np.int32)
         planes = pack_codes(jnp.array(codes), bits)
-        assert planes.shape == (3, 5, bits, 2)
+        assert planes.shape == (3, bits, 4, 8)
         out = unpack_codes(planes, bits)
         np.testing.assert_array_equal(np.asarray(out), codes)
 
     @pytest.mark.parametrize("bits", [2, 3, 4])
     def test_incremental_equals_bulk(self, bits):
         rng = np.random.default_rng(1)
-        T = 64
-        codes = rng.integers(0, 2**bits, size=(2, HKV, DH, T)).astype(np.int32)
-        bulk = pack_codes(jnp.array(codes), bits)  # (2,HKV,DH,bits,2)
+        T = 128
+        codes = rng.integers(0, 2**bits, size=(2, HKV, T, DH)).astype(np.int32)
+        bulk = pack_codes(jnp.array(codes), bits)  # (2,HKV,bits,4,DH)
         planes = jnp.zeros_like(bulk)
         for t in range(T):
-            planes = set_token_codes(planes, jnp.array(codes[..., t]), t)
+            planes = set_token_codes(planes, jnp.array(codes[:, :, t]), t)
         np.testing.assert_array_equal(np.asarray(planes), np.asarray(bulk))
 
     def test_set_overwrites(self):
         bits = 4
-        planes = jnp.zeros((1, 1, 1, bits, 1), jnp.int32)
-        planes = set_token_codes(planes, jnp.full((1, 1, 1), 15), 7)
-        planes = set_token_codes(planes, jnp.full((1, 1, 1), 3), 7)
+        planes = jnp.zeros((1, bits, 4, 2), jnp.int32)
+        planes = set_token_codes(planes, jnp.full((1, 2), 15), 7)
+        planes = set_token_codes(planes, jnp.full((1, 2), 3), 7)
         codes = unpack_codes(planes, bits)
-        assert int(codes[0, 0, 0, 7]) == 3
-        assert int(jnp.sum(codes)) == 3
+        assert int(codes[0, 7, 0]) == 3 and int(codes[0, 7, 1]) == 3
+        assert int(jnp.sum(codes)) == 6
 
 
 class TestQuantizeTokens:
@@ -306,14 +306,14 @@ class TestScatterFreeOutliers:
         from kvquant_tpu.models.llama import rope_cos_sin
         addend = deployed._scatter_outliers(
             cache.k_ovals, cache.k_oidx, HKV, DH, Tc
-        )  # (B,HKV,DH,Tc) pre-RoPE
+        )  # (B,HKV,Tc,DH) pre-RoPE
         ck, sk = rope_cos_sin(
             dcfg.sink + jnp.arange(Tc, dtype=jnp.int32), MCFG
         )
-        roped = addend * ck.T[None, None] + deployed.rotate_half_axis(
-            addend, axis=-2
-        ) * sk.T[None, None]
-        want = jnp.einsum("bhgd,bhdt->bhgt", q_rot, roped)
+        roped = addend * ck[None, None] + deployed.rotate_half_axis(
+            addend, axis=-1
+        ) * sk[None, None]
+        want = jnp.einsum("bhgd,bhtd->bhgt", q_rot, roped)
 
         got = deployed.k_outlier_scores(
             q_rot, cache.k_ovals, cache.k_oidx, dcfg, MCFG
@@ -332,7 +332,7 @@ class TestScatterFreeOutliers:
         addend = deployed._scatter_outliers(
             cache.v_ovals, cache.v_oidx, HKV, DH, Tc
         )
-        want = jnp.einsum("bhgt,bhdt->bhgd", p, addend)
+        want = jnp.einsum("bhgt,bhtd->bhgd", p, addend)
         got = deployed.v_outlier_out(p, cache.v_ovals, cache.v_oidx, dcfg)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
