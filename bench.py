@@ -44,6 +44,7 @@ def main():
     bits = int(os.environ.get("BENCH_BITS", 3))
     n_layers = int(os.environ.get("BENCH_LAYERS", 8))
     kernel = os.environ.get("BENCH_KERNEL", "pallas")
+    sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -69,6 +70,7 @@ def main():
     dcfg = DeployConfig.create(
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
+        include_sparse=sparse,
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 

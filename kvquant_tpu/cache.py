@@ -6,12 +6,15 @@ modeling_llama.py:352/:978). Per layer (all arrays carry leading (L, B)):
   k_planes / v_planes : (L,B,Hkv,bits,TW,D) int32   bit-plane packed codes,
                         head_dim last (TW = cache_tokens/32 word rows; see
                         ops/packing.py for the group layout)
-  k_ovals / k_oidx    : (L,B,Tc,2*cap) fp32/int32   fixed-budget Key outliers
-                        (value minus its dense dequant; channel index over
-                        C = Hkv*D), mirroring the 42-slot rows at
-                        modeling_llama.py:396-397
-  v_ovals / v_oidx    : (L,B,Tc,2*cap)              Value outliers
-                        (value minus the token's zero-point LUT entry)
+  k_ovals / k_oidx    : (L,B,Hkv,Tc,2*cap) fp16/int8  fixed per-(token,
+                        kv-head) budget Key outliers (value minus its dense
+                        dequant; in-head dim index) — the TPU-native
+                        restructuring of the reference's global 42-slot rows
+                        (modeling_llama.py:396-397): kernel work scales with
+                        the per-head slot count and the arrays shard over
+                        heads with the packed cache
+  v_ovals / v_oidx    : (L,B,Hkv,Tc,2*cap)          Value outliers (value
+                        minus its clamped dense dequant)
   v_scale / v_offset  : (L,B,Tc) fp32               per-token V range — the
                         expanded (max_len, 2**bits) LUT of the reference
                         (:1011) is reconstructed from these 2 scalars + the
@@ -51,6 +54,7 @@ class DeployConfig:
     sparsity_threshold: float = 0.99
     include_sparse: bool = True
     kernel: str = "xla"  # "xla" (reference datapath) or "pallas" (fused)
+    v_range_exclude: int = 21  # global extremes/side excluded from V range
 
     @property
     def kv_hidden(self) -> int:
@@ -58,11 +62,13 @@ class DeployConfig:
 
     @property
     def cache_tokens(self) -> int:
-        """Packed-cache capacity (multiple of 256: Pallas token blocks need
-        >= 8 word rows per block — the (8, 128) sublane/lane tile — and one
-        word row packs 32 tokens)."""
+        """Packed-cache capacity. Multiple of 256 (Pallas token blocks need
+        >= 8 word rows — the (8, 128) sublane/lane tile — and one word row
+        packs 32 tokens); long caches round to 2048 so the kernels can use
+        full-size token blocks (grid-step overhead dominates otherwise)."""
         t = self.max_len - self.sink
-        return ((t + 255) // 256) * 256
+        unit = 2048 if t > 4096 else 256
+        return ((t + unit - 1) // unit) * unit
 
     @property
     def n_slots(self) -> int:
@@ -70,14 +76,19 @@ class DeployConfig:
 
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
-               sparsity_threshold=0.99, include_sparse=True, kernel="xla"):
+               sparsity_threshold=0.99, include_sparse=True, kernel="xla",
+               cap_per_side=None):
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
-            cap_per_side=outlier_budget_per_side(
-                n_kv_heads * d_head, sparsity_threshold
+            cap_per_side=(
+                outlier_budget_per_side(d_head, sparsity_threshold)
+                if cap_per_side is None else cap_per_side
             ),
             sink=sink, sparsity_threshold=sparsity_threshold,
             include_sparse=include_sparse, kernel=kernel,
+            v_range_exclude=outlier_budget_per_side(
+                n_kv_heads * d_head, sparsity_threshold
+            ),
         )
 
 
@@ -112,13 +123,16 @@ def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
     def z(shape, dt):
         return jnp.zeros(shape, dt)
 
+    # outliers stored compactly: fp16 residuals (the reference keeps fp16
+    # outliers) + int8 in-head dim indices (d_head <= 128)
+    oi_dt = jnp.int8 if D <= 128 else jnp.int32
     return KVCache(
         k_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
         v_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
-        k_ovals=z((L, B, Tc, ns), jnp.float32),
-        k_oidx=z((L, B, Tc, ns), jnp.int32),
-        v_ovals=z((L, B, Tc, ns), jnp.float32),
-        v_oidx=z((L, B, Tc, ns), jnp.int32),
+        k_ovals=z((L, B, H, Tc, ns), jnp.float16),
+        k_oidx=z((L, B, H, Tc, ns), oi_dt),
+        v_ovals=z((L, B, H, Tc, ns), jnp.float16),
+        v_oidx=z((L, B, H, Tc, ns), oi_dt),
         v_scale=z((L, B, Tc), jnp.float32),
         v_offset=z((L, B, Tc), jnp.float32),
         k_sink=z((L, B, H, S, D), jnp.float32),
@@ -137,7 +151,11 @@ def cache_bytes(dcfg: DeployConfig, n_layers: int, batch: int) -> dict:
     C = dcfg.kv_hidden
     Tc = dcfg.cache_tokens
     packed = 2 * n_layers * batch * C * dcfg.bits * Tc // 8
-    outliers = 2 * n_layers * batch * Tc * dcfg.n_slots * 8
+    oi_bytes = 1 if dcfg.d_head <= 128 else 4
+    outliers = (
+        2 * n_layers * batch * dcfg.n_kv_heads * Tc * dcfg.n_slots
+        * (2 + oi_bytes)
+    )
     vlut = 2 * n_layers * batch * Tc * 4
     sink = 2 * n_layers * batch * C * dcfg.sink * 4
     fp16 = 2 * n_layers * batch * C * dcfg.max_len * 2

@@ -143,16 +143,22 @@ class SimQuantArrays:
 @dataclass(frozen=True)
 class SimQuantConfig:
     """Static scheme config. v_mode:
-    - "topk": range/outliers from the token's own 2-sided top-k (matches the
-      deployed kernels, deployment modeling_llama.py:1091-1114)
+    - "topk": range from the token's 2-sided global top-k, per-head capped
+      outlier storage (matches the deployed kernels; see ops/deployed.py)
     - "percentile": reference simulated-eval semantics
       (get_outliers_dynamic, simquant_module_quantizer.py:80)
+
+    ``cap_per_side`` is per (token, kv-head) — set ``n_kv_heads`` with it.
+    ``v_range_exclude`` is the global per-side extreme count defining the
+    per-token V range (the reference's topk(cap+1)).
     """
 
     bits: int
     include_sparse: bool = True
     sparsity_threshold: float = 0.99
     cap_per_side: int = 0  # 0 => uncapped static mask
+    n_kv_heads: int = 1
+    v_range_exclude: int = 0  # 0 => derive from sparsity_threshold
     first_few_fp16: int = 0
     v_mode: str = "topk"  # or "percentile"
     qnorm: bool = False
@@ -164,8 +170,10 @@ class SimQuantParams:
     config: SimQuantConfig
 
 
-def simquant_from_quantizers(qs, v_mode="topk") -> SimQuantParams:
-    """Build stacked simulated-quant params from a QuantizerSet artifact."""
+def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1) -> SimQuantParams:
+    """Build stacked simulated-quant params from a QuantizerSet artifact.
+    ``n_kv_heads`` sets the per-(token, kv-head) outlier budget granularity
+    (pass the model's kv-head count to match the deployed path)."""
     import numpy as np
 
     k_lower = np.stack([lq.k.lower for lq in qs.layers])
@@ -196,9 +204,13 @@ def simquant_from_quantizers(qs, v_mode="topk") -> SimQuantParams:
         bits=qs.bits,
         include_sparse=True,
         sparsity_threshold=qs.sparsity_threshold,
-        cap_per_side=outlier_budget_per_side(C, qs.sparsity_threshold)
+        cap_per_side=outlier_budget_per_side(
+            C // n_kv_heads, qs.sparsity_threshold
+        )
         if qs.cap_outliers
         else 0,
+        n_kv_heads=n_kv_heads,
+        v_range_exclude=outlier_budget_per_side(C, qs.sparsity_threshold),
         first_few_fp16=qs.first_few_fp16,
         v_mode=v_mode,
         qnorm=qnorm,
@@ -208,11 +220,14 @@ def simquant_from_quantizers(qs, v_mode="topk") -> SimQuantParams:
 
 def simquant_k(k, arrs, cfg: SimQuantConfig):
     """Fake-quantize pre-RoPE keys (B, T, C), per-channel static scheme."""
+    from ..quant.outliers import capped_outlier_mask_headwise
+
     kf = k.astype(jnp.float32)
     if cfg.include_sparse:
         if cfg.cap_per_side > 0:
-            mask, _ = capped_outlier_mask(
-                kf, arrs.k_lower, arrs.k_upper, cfg.cap_per_side, axis=0
+            mask = capped_outlier_mask_headwise(
+                kf, arrs.k_lower, arrs.k_upper, cfg.cap_per_side,
+                cfg.n_kv_heads,
             )
         else:
             mask = static_outlier_mask(kf, arrs.k_lower, arrs.k_upper, axis=0)
@@ -234,15 +249,20 @@ def simquant_k(k, arrs, cfg: SimQuantConfig):
     return deq.astype(k.dtype)
 
 
-def v_topk_range_and_mask(vf, cap_per_side: int):
-    """Deployed-kernel V semantics: range = the (cap+1)-th extreme value each
-    side; the top-cap each side are the sparse outliers
-    (deployment modeling_llama.py:1528-1545, 1091-1114)."""
-    top_v, _ = jax.lax.top_k(vf, cap_per_side + 1)
-    bot_v, _ = jax.lax.top_k(-vf, cap_per_side + 1)
+def v_topk_range_and_mask(vf, r_exclude: int, cap_per_side: int,
+                          n_kv_heads: int):
+    """Deployed-kernel V semantics: range = the (r+1)-th global extreme each
+    side (deployment modeling_llama.py:1528-1545, 1091-1114); the stored
+    outliers are the per-head top-cap beyond-range elements."""
+    from ..quant.outliers import headwise_range_outlier_mask
+
+    top_v, _ = jax.lax.top_k(vf, r_exclude + 1)
+    bot_v, _ = jax.lax.top_k(-vf, r_exclude + 1)
     maxval = top_v[..., -1:]
     minval = -bot_v[..., -1:]
-    mask = (vf > maxval) | (vf < minval)
+    mask = headwise_range_outlier_mask(
+        vf, minval, maxval, cap_per_side, n_kv_heads
+    )
     return minval, maxval, mask
 
 
@@ -255,10 +275,15 @@ def simquant_v(v, arrs, cfg: SimQuantConfig):
         if cfg.v_mode == "topk":
             from ..quant.outliers import outlier_budget_per_side
 
-            cap = cfg.cap_per_side or outlier_budget_per_side(
+            r = cfg.v_range_exclude or outlier_budget_per_side(
                 v.shape[-1], cfg.sparsity_threshold
             )
-            minval, maxval, mask = v_topk_range_and_mask(vf, cap)
+            cap = cfg.cap_per_side or outlier_budget_per_side(
+                v.shape[-1] // cfg.n_kv_heads, cfg.sparsity_threshold
+            )
+            minval, maxval, mask = v_topk_range_and_mask(
+                vf, r, cap, cfg.n_kv_heads
+            )
             dynamic = False
         else:
             mask = dynamic_outlier_mask(vf, cfg.sparsity_threshold, axis=-1)

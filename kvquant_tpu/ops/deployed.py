@@ -14,11 +14,20 @@ quant_cuda_kernel.cu:3040-3209):
   - keys are quantized pre-RoPE; RoPE is applied to the *dequantized* key at
     score time with absolute positions; rotated-query . rotated-key is
     computed with the regrouped sign trick
-  - dense + sparse reconstruction is exact at outlier positions: the packed
-    code at an outlier is its clamped nearest entry and the stored sparse
-    value is (value - dense dequant), so their sum is the original value
-  - V outliers store (value - zeropoint LUT entry) and the packed code at an
-    outlier is the zeropoint index (modeling_llama.py:1165-1180)
+  - dense + sparse reconstruction is exact at stored-outlier positions: the
+    packed code there is the clamped nearest entry and the stored sparse
+    value is (value - dense dequant), so their sum is the original value.
+    (The reference stores V outliers relative to the zero-point LUT entry,
+    modeling_llama.py:1165-1180 — residual-vs-dequant storage is equivalent
+    in reconstruction and needs no code rewriting at append time.)
+
+TPU-first divergence from the reference (global per-token outlier budget,
+42 slots over all channels, modeling_llama.py:396-397): the outlier budget
+here is per (token, kv-head) with in-head dim indices. Work in the fused
+kernels then scales with the per-head slot count instead of the global
+count, outlier arrays shard over heads together with the packed cache, and
+elements beyond threshold in excess of a head's budget degrade gracefully
+(their packed code clamps to the nearest codebook extreme).
 """
 
 from __future__ import annotations
@@ -44,75 +53,80 @@ def rotate_half_axis(x, axis):
 # per-token quantization (append-side math)
 # ---------------------------------------------------------------------------
 
+def _headwise_residual_outliers(xf, resc, deq, cap: int):
+    """Per-head fixed-budget outlier extraction.
+
+    xf/resc/deq: (..., Hkv, D). ``resc`` is the ranking signal, nonzero only
+    at genuine (beyond-threshold) positions. Returns (ovals, oidx), each
+    (..., Hkv, 2*cap), with in-head dim indices; slots of non-genuine
+    padding carry value 0.
+    """
+    top_v, top_i = jax.lax.top_k(resc, cap)
+    bot_v, bot_i = jax.lax.top_k(-resc, cap)
+    oidx = jnp.concatenate([top_i, bot_i], axis=-1).astype(jnp.int32)
+    genuine = jnp.concatenate([top_v > 0.0, bot_v > 0.0], axis=-1)
+    x_at = jnp.take_along_axis(xf, oidx, axis=-1)
+    d_at = jnp.take_along_axis(deq, oidx, axis=-1)
+    return jnp.where(genuine, x_at - d_at, 0.0), oidx
+
+
 def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
     """Quantize pre-RoPE keys (..., C) -> (codes (..., Hkv, D),
-    outlier_vals (..., 2*cap), outlier_idx (..., 2*cap)).
+    outlier_vals (..., Hkv, 2*cap), outlier_idx (..., Hkv, 2*cap)).
 
     Mirrors vecquantNappendvecKsparse + the fixed-budget topk at
-    deployment modeling_llama.py:669-751.
+    deployment modeling_llama.py:669-751, with the budget per kv-head.
     """
-    kf = k.astype(jnp.float32)
-    zp = (lq.k_upper + lq.k_lower) * 0.5
-    hr = (lq.k_upper - lq.k_lower) * 0.5
+    Hkv, D = dcfg.n_kv_heads, dcfg.d_head
+    kf = k.astype(jnp.float32).reshape(*k.shape[:-1], Hkv, D)
+    zp = ((lq.k_upper + lq.k_lower) * 0.5).reshape(Hkv, D)
+    hr = ((lq.k_upper - lq.k_lower) * 0.5).reshape(Hkv, D)
     xn = (kf - zp) / hr
     codes = nearest_codes(xn, lq.k_lut_enc)
     deq = lut_lookup(lq.k_lut_dec, codes) * hr + zp
 
-    cap = dcfg.cap_per_side
     ovals = oidx = None
     if dcfg.include_sparse:
-        base = (kf < lq.k_lower) | (kf > lq.k_upper)
-        resc = jnp.where(base, xn, 0.0)
-        top_v, top_i = jax.lax.top_k(resc, cap)
-        bot_v, bot_i = jax.lax.top_k(-resc, cap)
-        bot_v = -bot_v
-        oidx = jnp.concatenate([top_i, bot_i], axis=-1).astype(jnp.int32)
-        genuine = jnp.concatenate([top_v > 1.0, bot_v < -1.0], axis=-1)
-        k_at = jnp.take_along_axis(kf, oidx, axis=-1)
-        d_at = jnp.take_along_axis(deq, oidx, axis=-1)
-        ovals = jnp.where(genuine, k_at - d_at, 0.0)
-
-    codes = codes.reshape(*k.shape[:-1], dcfg.n_kv_heads, dcfg.d_head)
+        base = jnp.abs(xn) > 1.0
+        resc = jnp.where(base, jnp.abs(xn), 0.0)
+        signed = jnp.where(xn > 0, resc, -resc)
+        ovals, oidx = _headwise_residual_outliers(
+            kf, signed, deq, dcfg.cap_per_side
+        )
     return codes, ovals, oidx
 
 
 def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
-    """Quantize values (..., C) -> (codes (..., Hkv, D), outlier_vals,
-    outlier_idx, scale (...,), offset (...,)).
+    """Quantize values (..., C) -> (codes (..., Hkv, D), outlier_vals
+    (..., Hkv, 2*cap), outlier_idx, scale (...,), offset (...,)).
 
-    Per-token range from the (cap+1)-th extremes (the reference's topk(22)
-    at modeling_llama.py:1528-1545 / 1091-1114); outliers beyond it stored
-    minus the zeropoint entry; packed code at outliers = zeropoint index.
+    Per-token range from the (r+1)-th global extremes (the reference's
+    topk(22) at modeling_llama.py:1528-1545 / 1091-1114); beyond-range
+    elements are stored per head as residuals vs the clamped dense dequant.
     """
+    Hkv, D = dcfg.n_kv_heads, dcfg.d_head
     vf = v.astype(jnp.float32)
-    cap = dcfg.cap_per_side
-    top_v, top_i = jax.lax.top_k(vf, cap + 1)
-    bot_v, bot_i = jax.lax.top_k(-vf, cap + 1)
-    bot_v = -bot_v
+    r = dcfg.v_range_exclude
+    top_v = jax.lax.top_k(vf, r + 1)[0]
+    bot_v = -jax.lax.top_k(-vf, r + 1)[0]
     maxval = top_v[..., -1:]
     minval = bot_v[..., -1:]
     offset = (maxval + minval) * 0.5
     scale = (maxval - minval) * 0.5
 
-    xn = (vf - offset) / scale
+    vh = vf.reshape(*v.shape[:-1], Hkv, D)
+    xn = (vh - offset[..., None]) / scale[..., None]
     codes = nearest_codes(xn, lq.v_lut_enc)
+    deq = lut_lookup(lq.v_lut_dec, codes) * scale[..., None] + offset[..., None]
 
     ovals = oidx = None
     if dcfg.include_sparse:
-        zp_code = 2 ** (dcfg.bits - 1) - 1
-        zp_val = lq.v_lut_dec[zp_code] * scale + offset  # (..., 1)
-        mask = (vf > maxval) | (vf < minval)
-        codes = jnp.where(mask, zp_code, codes)
-        oidx = jnp.concatenate(
-            [top_i[..., :cap], bot_i[..., :cap]], axis=-1
-        ).astype(jnp.int32)
-        genuine = jnp.concatenate(
-            [top_v[..., :cap] > maxval, bot_v[..., :cap] < minval], axis=-1
+        base = jnp.abs(xn) > 1.0
+        resc = jnp.where(base, jnp.abs(xn), 0.0)
+        signed = jnp.where(xn > 0, resc, -resc)
+        ovals, oidx = _headwise_residual_outliers(
+            vh, signed, deq, dcfg.cap_per_side
         )
-        v_at = jnp.take_along_axis(vf, oidx, axis=-1)
-        ovals = jnp.where(genuine, v_at - zp_val, 0.0)
-
-    codes = codes.reshape(*v.shape[:-1], dcfg.n_kv_heads, dcfg.d_head)
     return codes, ovals, oidx, scale[..., 0], offset[..., 0]
 
 
@@ -120,20 +134,14 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
 # full-cache dequantization (reference path; production uses Pallas kernels)
 # ---------------------------------------------------------------------------
 
-def _scatter_outliers(ovals, oidx, n_kv_heads, d_head, Tc):
-    """(B, Tc, 2cap) sparse rows -> dense (B, Hkv, Tc, D) addend.
-
-    NOTE: XLA scatter serializes on TPU (~10us per update row) — this is for
-    tests/introspection only; the decode path applies outliers with the
-    gather/one-hot formulations below.
-    """
-    B = ovals.shape[0]
-    C = n_kv_heads * d_head
-    flat = jnp.zeros((B, Tc, C), jnp.float32)
-    b_ix = jnp.arange(B)[:, None, None]
-    t_ix = jnp.arange(Tc)[None, :, None]
-    flat = flat.at[b_ix, t_ix, oidx].add(ovals)
-    return flat.reshape(B, Tc, n_kv_heads, d_head).transpose(0, 2, 1, 3)
+def _outlier_addend(ovals, oidx, d_head):
+    """(B, Hkv, Tc, J) per-head sparse rows -> dense (B, Hkv, Tc, D) addend,
+    via a one-hot contraction (XLA scatter serializes on TPU). Padding slots
+    carry value 0, so index collisions are harmless."""
+    onehot = (
+        oidx.astype(jnp.int32)[..., None] == jnp.arange(d_head)
+    ).astype(jnp.float32)
+    return jnp.einsum("bhtj,bhtjd->bhtd", ovals.astype(jnp.float32), onehot)
 
 
 def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
@@ -144,10 +152,7 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
         lq.k_offset[:, None, :]
     )
     if dcfg.include_sparse and with_outliers:
-        deq = deq + _scatter_outliers(
-            cache_l.k_ovals, cache_l.k_oidx, dcfg.n_kv_heads, dcfg.d_head,
-            dcfg.cache_tokens,
-        )
+        deq = deq + _outlier_addend(cache_l.k_ovals, cache_l.k_oidx, dcfg.d_head)
     return deq
 
 
@@ -159,91 +164,8 @@ def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
         cache_l.v_offset[:, None, :, None]
     )
     if dcfg.include_sparse and with_outliers:
-        deq = deq + _scatter_outliers(
-            cache_l.v_ovals, cache_l.v_oidx, dcfg.n_kv_heads, dcfg.d_head,
-            dcfg.cache_tokens,
-        )
+        deq = deq + _outlier_addend(cache_l.v_ovals, cache_l.v_oidx, dcfg.d_head)
     return deq
-
-
-# ---------------------------------------------------------------------------
-# scatter-free outlier application (the reference's SPMV_ATOMIC_ROPE_BALANCED
-# / SPMV_ATOMIC_BALANCED kernels, quant_cuda_kernel.cu:437-521, recast as
-# dense gathers + tiny one-hot contractions — XLA scatter serializes on TPU)
-# ---------------------------------------------------------------------------
-
-
-def k_outlier_scores(q_rot, k_ovals, k_oidx, dcfg: DeployConfig,
-                     mcfg: ModelConfig):
-    """Score contribution of the sparse Key outliers, with RoPE applied
-    analytically to each outlier element.
-
-    RoPE is linear: with R(t) = diag(cos) + diag(sin)·P (P = rotate-half),
-    an outlier delta val·e_c at cache slot t contributes
-      q_rot · R(t) (val e_c) = val · (R(t)^T q_rot)[c]
-                             = val · (cosθ·q[c] + sgn(d)·sinθ·q[c']),
-    where d = c mod Dh, c' is the rotate-half partner channel, and
-    sgn = +1 for d < Dh/2 else -1 (P^T = -P).
-
-    q_rot: (B, Hkv, G, Dh) roped query; k_ovals/k_oidx: (B, Tc, J).
-    Returns (B, Hkv, G, Tc), unscaled (caller applies 1/sqrt(Dh)).
-    """
-    B, Hkv, G, Dh = q_rot.shape
-    Tc, J = k_ovals.shape[1:]
-    half = Dh // 2
-    S = dcfg.sink
-
-    c = k_oidx  # (B, Tc, J)
-    d = c % Dh
-    h = c // Dh
-    sign = jnp.where(d < half, 1.0, -1.0)
-    partner = jnp.where(d < half, d + half, d - half)
-
-    # inv_freq computed analytically from the outlier's dim (a gather from
-    # even a 64-entry table serializes on TPU)
-    inv_freq = mcfg.rope_theta ** (
-        -(d % half).astype(jnp.float32) * 2.0 / Dh
-    )  # (B, Tc, J)
-    pos = (S + jnp.arange(Tc, dtype=jnp.float32))[None, :, None]
-    theta = (pos / mcfg.rope_scaling) * inv_freq
-    cost, sint = jnp.cos(theta), jnp.sin(theta)  # (B, Tc, J)
-
-    # q values at the outlier dims via one-hot MXU contractions (no gathers)
-    dimoh = (d[..., None] == jnp.arange(Dh)).astype(jnp.float32)  # (B,Tc,J,Dh)
-    poh = (partner[..., None] == jnp.arange(Dh)).astype(jnp.float32)
-    q_d = jnp.einsum("btjd,bhgd->bhgtj", dimoh, q_rot)
-    q_p = jnp.einsum("btjd,bhgd->bhgtj", poh, q_rot)
-
-    term = k_ovals[:, None, None] * (
-        cost[:, None, None] * q_d + (sign * sint)[:, None, None] * q_p
-    )  # (B, Hkv, G, Tc, J)
-
-    headoh = (h[..., None] == jnp.arange(Hkv)).astype(jnp.float32)
-    return jnp.einsum("bhgtj,btjh->bhgt", term, headoh)
-
-
-def v_outlier_out(p_dense, v_ovals, v_oidx, dcfg: DeployConfig):
-    """Output contribution of the sparse Value outliers.
-
-    p_dense: (B, Hkv, G, Tc) softmax weights over packed positions.
-    Returns (B, Hkv, G, Dh).
-    """
-    B, Hkv, G, Tc = p_dense.shape
-    Dh = dcfg.d_head
-    J = v_ovals.shape[-1]
-
-    c = v_oidx
-    d = c % Dh
-    h = c // Dh
-
-    headoh = (h[..., None] == jnp.arange(Hkv)).astype(jnp.float32)
-    # p at the outlier's head, via one-hot contraction (no gathers)
-    p_at = jnp.einsum("bhgt,btjh->bgtj", p_dense, headoh)
-    w = p_at * v_ovals[:, None]
-
-    u = jnp.einsum("bgtj,btjh->bhgtj", w, headoh)
-    dimoh = (d[..., None] == jnp.arange(Dh)).astype(jnp.float32)
-    return jnp.einsum("bhgtj,btjd->bhgd", u, dimoh)
 
 
 # ---------------------------------------------------------------------------
@@ -300,8 +222,8 @@ def decode_attention(
     if S > 0:
         k_planes = jnp.where(in_sink, cache_l.k_planes, k_planes)
     if dcfg.include_sparse:
-        k_ov = _write_row(cache_l.k_ovals, k_ovals, p, ~in_sink, axis=1)
-        k_oi = _write_row(cache_l.k_oidx, k_oidx, p, ~in_sink, axis=1)
+        k_ov = _write_row(cache_l.k_ovals, k_ovals, p, ~in_sink, axis=2)
+        k_oi = _write_row(cache_l.k_oidx, k_oidx, p, ~in_sink, axis=2)
     else:
         k_ov, k_oi = cache_l.k_ovals, cache_l.k_oidx
 
@@ -320,18 +242,17 @@ def decode_attention(
         from .pallas import qk_fused
 
         dense = jax.vmap(
-            lambda q1, kp1: qk_fused(
-                q1, kp1, lq.k_range, lq.k_offset, lq.k_lut_dec, dcfg, mcfg
+            lambda q1, kp1, ov1, oi1: qk_fused(
+                q1, kp1, ov1, oi1, lq.k_range, lq.k_offset, lq.k_lut_dec,
+                dcfg, mcfg,
             )
-        )(q_rot, k_planes)
+        )(q_rot, k_planes, k_ov, k_oi.astype(jnp.int32))
     else:
-        k_full = dequant_k_full(cache_tmp, lq, dcfg, with_outliers=False)
+        k_full = dequant_k_full(cache_tmp, lq, dcfg)
         pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
         ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
         kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
         dense = jnp.einsum("bhgd,bhtd->bhgt", q_rot, kx)
-    if dcfg.include_sparse:
-        dense = dense + k_outlier_scores(q_rot, k_ov, k_oi, dcfg, mcfg)
     dense = dense * inv
     scores = dense
     if S > 0:
@@ -353,8 +274,8 @@ def decode_attention(
     v_scale = _write_row(cache_l.v_scale, v_sc, p, ~in_sink, axis=1)
     v_offset = _write_row(cache_l.v_offset, v_off, p, ~in_sink, axis=1)
     if dcfg.include_sparse:
-        v_ov = _write_row(cache_l.v_ovals, v_ovals, p, ~in_sink, axis=1)
-        v_oi = _write_row(cache_l.v_oidx, v_oidx, p, ~in_sink, axis=1)
+        v_ov = _write_row(cache_l.v_ovals, v_ovals, p, ~in_sink, axis=2)
+        v_oi = _write_row(cache_l.v_oidx, v_oidx, p, ~in_sink, axis=2)
     else:
         v_ov, v_oi = cache_l.v_ovals, cache_l.v_oidx
 
@@ -371,15 +292,13 @@ def decode_attention(
         from .pallas import pv_fused
 
         out = jax.vmap(
-            lambda p1, vp1, sc1, of1: pv_fused(
-                p1, vp1, sc1, of1, lq.v_lut_dec, dcfg
+            lambda p1, vp1, sc1, of1, ov1, oi1: pv_fused(
+                p1, vp1, sc1, of1, ov1, oi1, lq.v_lut_dec, dcfg
             )
-        )(p_dense, v_planes, v_scale, v_offset)
+        )(p_dense, v_planes, v_scale, v_offset, v_ov, v_oi.astype(jnp.int32))
     else:
-        v_full = dequant_v_full(new_cache, lq, dcfg, with_outliers=False)
+        v_full = dequant_v_full(new_cache, lq, dcfg)
         out = jnp.einsum("bhgt,bhtd->bhgd", p_dense, v_full)
-    if dcfg.include_sparse:
-        out = out + v_outlier_out(p_dense, new_cache.v_ovals, new_cache.v_oidx, dcfg)
     if S > 0:
         out = out + jnp.einsum("bhgs,bhsd->bhgd", probs[..., :S], v_sink)
     return new_cache, out.reshape(B, Hkv * G, Dh)
@@ -430,16 +349,22 @@ def prefill_pack(
             arr, rows.astype(arr.dtype), 0, axis=1
         )
 
+    def place_head_rows(arr, rows):
+        # rows (B, Tp, Hkv, J) -> arr (B, Hkv, Tc, J) token axis
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, rows.transpose(0, 2, 1, 3).astype(arr.dtype), 0, axis=2
+        )
+
     codes_k, k_ovals, k_oidx = quantize_k(k[:, S:], lq, dcfg)
     codes_v, v_ovals, v_oidx, v_sc, v_off = quantize_v(v[:, S:], lq, dcfg)
 
     new_cache = KVCache(
         k_planes=place(cache_l.k_planes, codes_k),
         v_planes=place(cache_l.v_planes, codes_v),
-        k_ovals=place_rows(cache_l.k_ovals, k_ovals),
-        k_oidx=place_rows(cache_l.k_oidx, k_oidx),
-        v_ovals=place_rows(cache_l.v_ovals, v_ovals),
-        v_oidx=place_rows(cache_l.v_oidx, v_oidx),
+        k_ovals=place_head_rows(cache_l.k_ovals, k_ovals),
+        k_oidx=place_head_rows(cache_l.k_oidx, k_oidx),
+        v_ovals=place_head_rows(cache_l.v_ovals, v_ovals),
+        v_oidx=place_head_rows(cache_l.v_oidx, v_oidx),
         v_scale=place_rows(cache_l.v_scale, v_sc),
         v_offset=place_rows(cache_l.v_offset, v_off),
         k_sink=k_sink,

@@ -94,12 +94,42 @@ def _pick_bt(Tc: int, block_tokens: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# fused dequant + RoPE + QK^T
+# fused dequant + RoPE + QK^T (+ in-VMEM sparse outlier application — the
+# reference's separate SPMV_ATOMIC_ROPE_BALANCED launch, fused)
 # ---------------------------------------------------------------------------
 
 
-def _qk_kernel(q_ref, planes_ref, rng_ref, off_ref, lut_ref, out_ref,
-               *, bits, D, BT, K, sink, theta, scaling):
+def _outlier_addend_block(ov, oi, D: int, BT: int, cos=None, sin=None):
+    """Build the dense (BT, D) addend of this block's per-head outliers in
+    VMEM (never touches HBM). ov/oi: (BT, J) residual values / in-head dims.
+
+    With cos/sin (the dense path's (BT, D) RoPE tiles), the addend lands
+    already rotated: val*cos at its dim and sign*val*sin at its rotate-half
+    partner dim. No per-slot transcendentals are needed — RoPE angles repeat
+    per half, so masking the dense cos/sin tiles with the dim / partner
+    one-hots extracts exactly cos(theta_j) / sin(theta_j) at the right
+    columns.
+    """
+    J = ov.shape[-1]
+    half = D // 2
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+    M = jnp.zeros((BT, D), jnp.float32)
+    for j in range(J):
+        dj = oi[:, j:j + 1]  # (BT, 1)
+        vj = ov[:, j:j + 1]
+        ohd = (iota_d == dj).astype(jnp.float32)
+        if cos is None:
+            M += vj * ohd
+            continue
+        sgn = jnp.where(dj < half, 1.0, -1.0)
+        pj = jnp.where(dj < half, dj + half, dj - half)
+        ohp = (iota_d == pj).astype(jnp.float32)
+        M += vj * (cos * ohd + sgn * (sin * ohp))
+    return M
+
+
+def _qk_kernel(q_ref, planes_ref, ov_ref, oi_ref, rng_ref, off_ref, lut_ref,
+               out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
     codes = _unpack_block(words, bits, D, BT)  # (BT, D)
@@ -111,19 +141,23 @@ def _qk_kernel(q_ref, planes_ref, rng_ref, off_ref, lut_ref, out_ref,
     k_rot = jnp.concatenate([-k[:, half:], k[:, :half]], axis=1)
     kx = k * cos + k_rot * sin  # (BT, D)
 
+    if sparse:
+        kx += _outlier_addend_block(ov_ref[0], oi_ref[0], D, BT, cos, sin)
+
     out_ref[0] = jax.lax.dot_general(
         q_ref[0], kx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (G, BT)
 
 
-def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
-             block_tokens: int = 512):
-    """scores (Hkv, G, Tc) = q_rot (Hkv, G, D) . rope(dequant(k_planes)).
+def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
+             mcfg, block_tokens: int = 2048):
+    """scores (Hkv, G, Tc) = q_rot (Hkv, G, D) . rope(dequant + outliers).
 
-    k_planes: (Hkv, bits, TW, D) int32; k_range/k_offset: (Hkv, D);
-    lut: (2**bits,) fp32 sorted. Unscaled scores (caller applies 1/sqrt(D)
-    and validity masking). Single-batch: vmap for B > 1.
+    k_planes: (Hkv, bits, TW, D) int32; k_ovals/k_oidx: (Hkv, Tc, J);
+    k_range/k_offset: (Hkv, D); lut: (2**bits,) fp32 sorted. Unscaled scores
+    (caller applies 1/sqrt(D) and validity masking). Single-batch: vmap for
+    B > 1.
     """
     Hkv, G, D = q_rot.shape
     bits = dcfg.bits
@@ -131,10 +165,16 @@ def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
     Tc = TW * 32
     BT = _pick_bt(Tc, block_tokens)
     K = 2 ** bits
+    J = k_ovals.shape[-1] if k_ovals is not None else 0
+    sparse = dcfg.include_sparse and J > 0
+    if not sparse:
+        k_ovals = jnp.zeros((Hkv, Tc, 2), jnp.float32)
+        k_oidx = jnp.zeros((Hkv, Tc, 2), jnp.int32)
+        J = 2
 
     kern = functools.partial(
         _qk_kernel, bits=bits, D=D, BT=BT, K=K, sink=dcfg.sink,
-        theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
+        theta=mcfg.rope_theta, scaling=mcfg.rope_scaling, sparse=sparse,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -144,6 +184,10 @@ def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
             pl.BlockSpec((1, G, D), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -158,6 +202,8 @@ def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
     )(
         q_rot.astype(jnp.float32),
         k_planes,
+        k_ovals.astype(jnp.float32),
+        k_oidx,
         k_range.astype(jnp.float32)[:, None, :],
         k_offset.astype(jnp.float32)[:, None, :],
         lut.astype(jnp.float32),
@@ -169,8 +215,8 @@ def qk_fused(q_rot, k_planes, k_range, k_offset, lut, dcfg, mcfg,
 # ---------------------------------------------------------------------------
 
 
-def _pv_kernel(p_ref, planes_ref, sc_ref, off_ref, lut_ref, out_ref,
-               *, bits, D, BT, K):
+def _pv_kernel(p_ref, planes_ref, ov_ref, oi_ref, sc_ref, off_ref, lut_ref,
+               out_ref, *, bits, D, BT, K, sparse):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)
     codes = _unpack_block(words, bits, D, BT)
@@ -185,6 +231,13 @@ def _pv_kernel(p_ref, planes_ref, sc_ref, off_ref, lut_ref, out_ref,
     # per-token offset contributes to every output dim
     tile = tile + jnp.sum(p * off_ref[0], axis=1, keepdims=True)
 
+    if sparse:
+        M = _outlier_addend_block(ov_ref[0], oi_ref[0], D, BT)
+        tile += jax.lax.dot_general(
+            p, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     @pl.when(tb == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
@@ -192,20 +245,29 @@ def _pv_kernel(p_ref, planes_ref, sc_ref, off_ref, lut_ref, out_ref,
     out_ref[0] += tile
 
 
-def pv_fused(probs, v_planes, v_scale, v_offset, lut, dcfg,
-             block_tokens: int = 512):
-    """out (Hkv, G, D) = probs (Hkv, G, Tc) . dequant(v_planes).
+def pv_fused(probs, v_planes, v_scale, v_offset, v_ovals, v_oidx, lut, dcfg,
+             block_tokens: int = 2048):
+    """out (Hkv, G, D) = probs (Hkv, G, Tc) . (dequant(v_planes) + outliers).
 
-    v_planes: (Hkv, bits, TW, D); v_scale/v_offset: (Tc,) per-token range.
-    probs must already be zero at invalid positions. Single-batch.
+    v_planes: (Hkv, bits, TW, D); v_scale/v_offset: (Tc,) per-token range;
+    v_ovals/v_oidx: (Hkv, Tc, J). probs must already be zero at invalid
+    positions. Single-batch.
     """
     Hkv, G, Tc = probs.shape
     D = v_planes.shape[-1]
     bits = dcfg.bits
     BT = _pick_bt(Tc, block_tokens)
     K = 2 ** bits
+    J = v_ovals.shape[-1] if v_ovals is not None else 0
+    sparse = dcfg.include_sparse and J > 0
+    if not sparse:
+        v_ovals = jnp.zeros((Hkv, Tc, 2), jnp.float32)
+        v_oidx = jnp.zeros((Hkv, Tc, 2), jnp.int32)
+        J = 2
 
-    kern = functools.partial(_pv_kernel, bits=bits, D=D, BT=BT, K=K)
+    kern = functools.partial(
+        _pv_kernel, bits=bits, D=D, BT=BT, K=K, sparse=sparse
+    )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
         kern,
@@ -214,6 +276,10 @@ def pv_fused(probs, v_planes, v_scale, v_offset, lut, dcfg,
             pl.BlockSpec((1, G, BT), lambda h, t: (h, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT), lambda h, t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -228,6 +294,8 @@ def pv_fused(probs, v_planes, v_scale, v_offset, lut, dcfg,
     )(
         probs.astype(jnp.float32),
         v_planes,
+        v_ovals.astype(jnp.float32),
+        v_oidx,
         v_scale.astype(jnp.float32)[None, :],
         v_offset.astype(jnp.float32)[None, :],
         lut.astype(jnp.float32),

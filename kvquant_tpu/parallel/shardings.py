@@ -11,11 +11,10 @@ inserts the psum on each row-sharded output projection):
                               the contexts this framework targets)
 
 Quantized cache (kvquant_tpu.cache.KVCache): every array shards batch over
-"dp"; packed planes and sinks additionally shard the kv-head axis over "tp".
-The fixed-budget outlier rows index channels globally (C = Hkv*D) so they
-stay head-replicated; the Pallas outlier kernel slices its head's channel
-range locally. The per-layer quantizer arrays shard k_range/k_offset over
-heads; thresholds/LUTs are tiny and replicate.
+"dp"; packed planes, sinks, AND the per-(token, kv-head) outlier arrays
+shard the kv-head axis over "tp" (the per-head outlier budget exists partly
+for this). The per-layer quantizer arrays shard k_range/k_offset over heads;
+thresholds/LUTs are tiny and replicate.
 
 This mirrors the SURVEY.md §2.3 note: the reference has no tensor
 parallelism at all — this module is new TPU-first design, not translation.
@@ -64,10 +63,10 @@ def cache_shardings(mesh: Mesh) -> KVCache:
     return KVCache(
         k_planes=_ns(mesh, None, "dp", "tp"),
         v_planes=_ns(mesh, None, "dp", "tp"),
-        k_ovals=_ns(mesh, None, "dp"),
-        k_oidx=_ns(mesh, None, "dp"),
-        v_ovals=_ns(mesh, None, "dp"),
-        v_oidx=_ns(mesh, None, "dp"),
+        k_ovals=_ns(mesh, None, "dp", "tp"),
+        k_oidx=_ns(mesh, None, "dp", "tp"),
+        v_ovals=_ns(mesh, None, "dp", "tp"),
+        v_oidx=_ns(mesh, None, "dp", "tp"),
         v_scale=_ns(mesh, None, "dp"),
         v_offset=_ns(mesh, None, "dp"),
         k_sink=_ns(mesh, None, "dp", "tp"),

@@ -49,6 +49,65 @@ def dynamic_outlier_mask(x, thresh: float = 0.999, axis: int = -1):
     return (x <= lower) | (x >= upper)
 
 
+def capped_outlier_mask_headwise(x, lower, upper, cap_per_side: int,
+                                 n_kv_heads: int):
+    """Static-threshold outliers with a fixed per-(token, kv-head) budget —
+    the deployed storage scheme (see ops/deployed.py module docs for the
+    divergence from the reference's global per-token budget).
+
+    x: (..., C) with C = Hkv*D; lower/upper: (C,) thresholds. Returns a bool
+    mask marking the selected (stored-exact) elements.
+    """
+    *lead, C = x.shape
+    D = C // n_kv_heads
+    xf = x.astype(jnp.float32)
+    lower = jnp.asarray(lower, jnp.float32).reshape(-1)
+    upper = jnp.asarray(upper, jnp.float32).reshape(-1)
+    zp = (upper + lower) * 0.5
+    hr = (upper - lower) * 0.5
+    xn = ((xf - zp) / hr).reshape(*lead, n_kv_heads, D)
+
+    base = jnp.abs(xn) > 1.0
+    resc = jnp.where(base, jnp.abs(xn), 0.0)
+    signed = jnp.where(xn > 0, resc, -resc)
+
+    top_v, top_i = jax.lax.top_k(signed, cap_per_side)
+    bot_v, bot_i = jax.lax.top_k(-signed, cap_per_side)
+    idx = jnp.concatenate([top_i, bot_i], axis=-1)
+    val = jnp.concatenate([top_v, bot_v], axis=-1)
+    kept = jnp.put_along_axis(
+        jnp.zeros_like(signed), idx, jnp.where(val > 0, 1.0, 0.0), axis=-1,
+        inplace=False,
+    )
+    return (kept > 0).reshape(*lead, C)
+
+
+def headwise_range_outlier_mask(x, minval, maxval, cap_per_side: int,
+                                n_kv_heads: int):
+    """Per-head fixed-budget selection of elements beyond a (per-token)
+    range — the deployed V scheme. x: (..., C); minval/maxval broadcastable
+    (..., 1)."""
+    *lead, C = x.shape
+    D = C // n_kv_heads
+    xf = x.astype(jnp.float32)
+    offset = (maxval + minval) * 0.5
+    scale = (maxval - minval) * 0.5
+    xn = ((xf - offset) / scale).reshape(*lead, n_kv_heads, D)
+
+    base = jnp.abs(xn) > 1.0
+    resc = jnp.where(base, jnp.abs(xn), 0.0)
+    signed = jnp.where(xn > 0, resc, -resc)
+    top_v, top_i = jax.lax.top_k(signed, cap_per_side)
+    bot_v, bot_i = jax.lax.top_k(-signed, cap_per_side)
+    idx = jnp.concatenate([top_i, bot_i], axis=-1)
+    val = jnp.concatenate([top_v, bot_v], axis=-1)
+    kept = jnp.put_along_axis(
+        jnp.zeros_like(signed), idx, jnp.where(val > 0, 1.0, 0.0), axis=-1,
+        inplace=False,
+    )
+    return (kept > 0).reshape(*lead, C)
+
+
 def capped_outlier_mask(x, lower, upper, cap_per_side: int, axis: int = 0):
     """Static-threshold outliers, capped to at most ``cap_per_side`` per side
     per token (last dim). Returns (mask, rescaled) where ``rescaled`` is the

@@ -93,7 +93,9 @@ def setup(bits, max_len=69, sink=5, seed=0):
     )
     sq_cfg = SimQuantConfig(
         bits=bits, include_sparse=True, sparsity_threshold=0.99,
-        cap_per_side=dcfg.cap_per_side, first_few_fp16=sink, v_mode="topk",
+        cap_per_side=dcfg.cap_per_side, n_kv_heads=HKV,
+        v_range_exclude=dcfg.v_range_exclude, first_few_fp16=sink,
+        v_mode="topk",
     )
     return dcfg, lq, sq_arrays, sq_cfg
 
@@ -138,18 +140,17 @@ class TestQuantizeTokens:
 
         codes, ovals, oidx = deployed.quantize_k(k, lq, dcfg)
         deq = (
-            jnp.take(lq.k_lut_dec, codes.reshape(3, C))
-            * lq.k_range.reshape(C) + lq.k_offset.reshape(C)
-        )
-        recon = deq + jnp.zeros_like(deq).at[
-            jnp.arange(3)[:, None], oidx
-        ].add(ovals)
+            jnp.take(lq.k_lut_dec, codes) * lq.k_range + lq.k_offset
+        )  # (3, HKV, DH)
+        onehot = (oidx[..., None] == jnp.arange(DH)).astype(np.float32)
+        recon = (deq + jnp.einsum("bhj,bhjd->bhd", ovals, onehot)).reshape(3, C)
 
         # simulated path (no sink so token rows are independent)
         sim = simquant_k(k[:, None, :], arrs,
                          SimQuantConfig(bits=bits, include_sparse=True,
                                         sparsity_threshold=0.99,
                                         cap_per_side=dcfg.cap_per_side,
+                                        n_kv_heads=HKV,
                                         first_few_fp16=0, v_mode="topk"))[:, 0]
         np.testing.assert_allclose(np.asarray(recon), np.asarray(sim), atol=1e-5)
 
@@ -161,17 +162,18 @@ class TestQuantizeTokens:
 
         codes, ovals, oidx, sc, off = deployed.quantize_v(v, lq, dcfg)
         deq = (
-            jnp.take(lq.v_lut_dec, codes.reshape(3, C)) * sc[:, None]
-            + off[:, None]
-        )
-        recon = deq + jnp.zeros_like(deq).at[
-            jnp.arange(3)[:, None], oidx
-        ].add(ovals)
+            jnp.take(lq.v_lut_dec, codes) * sc[:, None, None]
+            + off[:, None, None]
+        )  # (3, HKV, DH)
+        onehot = (oidx[..., None] == jnp.arange(DH)).astype(np.float32)
+        recon = (deq + jnp.einsum("bhj,bhjd->bhd", ovals, onehot)).reshape(3, C)
 
         sim = simquant_v(v[:, None, :], arrs,
                          SimQuantConfig(bits=bits, include_sparse=True,
                                         sparsity_threshold=0.99,
                                         cap_per_side=dcfg.cap_per_side,
+                                        n_kv_heads=HKV,
+                                        v_range_exclude=dcfg.v_range_exclude,
                                         first_few_fp16=0, v_mode="topk"))[:, 0]
         np.testing.assert_allclose(np.asarray(recon), np.asarray(sim), atol=1e-5)
 
@@ -224,8 +226,10 @@ class TestDecodeEquivalence:
             )
             outs.append(o)
         got = jnp.stack(outs, axis=1)
+        # outliers are stored fp16 in the cache (as in the reference) while
+        # the simulated path keeps them exact -> ~1e-3 differences
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+            np.asarray(got), np.asarray(ref), atol=4e-3, rtol=1e-3
         )
 
     def test_prefill_then_decode_matches_all_decode(self):
@@ -282,58 +286,26 @@ class TestDecodeEquivalence:
         assert acct["fp16_baseline"] == 2 * 32 * 4096 * 2**20 * 2
 
 
-class TestScatterFreeOutliers:
-    """The decode path applies outliers via gathers + one-hot contractions;
-    they must agree exactly with the dense scatter formulation."""
+class TestOutlierAddend:
+    """The one-hot outlier densification must agree with a numpy scatter."""
 
-    def _cache_with_outliers(self, bits=4, seed=9):
-        dcfg, lq, arrs, scfg = setup(bits, max_len=37 + 5)
-        rng = np.random.default_rng(seed)
+    def test_matches_numpy_scatter(self):
+        dcfg, lq, arrs, scfg = setup(4, max_len=37 + 5)
+        rng = np.random.default_rng(9)
         B, T = 2, 20
         k = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32) * 2)
         v = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
         cache = create_cache(dcfg, 1, B).layer(0)
         cache = deployed.prefill_pack(cache, lq, dcfg, MCFG, k, v)
-        return dcfg, lq, cache, rng
 
-    def test_k_outlier_scores_match_scatter(self):
-        dcfg, lq, cache, rng = self._cache_with_outliers()
-        B, Tc = cache.k_ovals.shape[:2]
-        G = 4 // HKV
-        q_rot = jnp.array(rng.normal(size=(B, HKV, G, DH)).astype(np.float32))
-
-        # scatter reference: rope the scattered outlier addend, then matmul
-        from kvquant_tpu.models.llama import rope_cos_sin
-        addend = deployed._scatter_outliers(
-            cache.k_ovals, cache.k_oidx, HKV, DH, Tc
-        )  # (B,HKV,Tc,DH) pre-RoPE
-        ck, sk = rope_cos_sin(
-            dcfg.sink + jnp.arange(Tc, dtype=jnp.int32), MCFG
-        )
-        roped = addend * ck[None, None] + deployed.rotate_half_axis(
-            addend, axis=-1
-        ) * sk[None, None]
-        want = jnp.einsum("bhgd,bhtd->bhgt", q_rot, roped)
-
-        got = deployed.k_outlier_scores(
-            q_rot, cache.k_ovals, cache.k_oidx, dcfg, MCFG
-        )
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
-        )
-
-    def test_v_outlier_out_matches_scatter(self):
-        dcfg, lq, cache, rng = self._cache_with_outliers()
-        B, Tc = cache.v_ovals.shape[:2]
-        G = 4 // HKV
-        p = jax.nn.softmax(
-            jnp.array(rng.normal(size=(B, HKV, G, Tc)).astype(np.float32)), -1
-        )
-        addend = deployed._scatter_outliers(
-            cache.v_ovals, cache.v_oidx, HKV, DH, Tc
-        )
-        want = jnp.einsum("bhgt,bhtd->bhgd", p, addend)
-        got = deployed.v_outlier_out(p, cache.v_ovals, cache.v_oidx, dcfg)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
-        )
+        got = deployed._outlier_addend(cache.k_ovals, cache.k_oidx, DH)
+        ov = np.asarray(cache.k_ovals)
+        oi = np.asarray(cache.k_oidx)
+        want = np.zeros(got.shape, np.float32)
+        B_, H_, Tc_, J_ = ov.shape
+        for b in range(B_):
+            for h in range(H_):
+                for t in range(Tc_):
+                    for j in range(J_):
+                        want[b, h, t, oi[b, h, t, j]] += ov[b, h, t, j]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

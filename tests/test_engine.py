@@ -34,7 +34,7 @@ def setup():
         sink=5,
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
-    sq = simquant_from_quantizers(qs, v_mode="topk")
+    sq = simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads)
     return cfg, params, tokens, dcfg, dq, sq
 
 
