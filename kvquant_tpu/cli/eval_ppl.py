@@ -1,0 +1,51 @@
+"""Simulated-quantization perplexity evaluation CLI (reference
+quant/llama_simquant.py eval path, :48-146 / :499-530).
+
+  python -m kvquant_tpu.cli.eval_ppl --quantizers quantizers_4bit.npz \
+      [--model hf_dir] [--dataset synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from . import common
+from ..evals.ppl import perplexity
+from ..models.llama import simquant_from_quantizers
+from ..quant.artifacts import load_quantizers
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(ap)
+    common.add_data_args(ap)
+    ap.add_argument("--quantizers", default=None,
+                    help="npz artifact; omit for the fp16 baseline ppl")
+    ap.add_argument("--v-mode", default="topk",
+                    choices=["topk", "percentile"])
+    ap.add_argument("--max-windows", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    params, cfg = common.load_model(args)
+    _, test = common.load_data(args, cfg)
+    test = test[: args.max_windows]
+
+    sq = None
+    if args.quantizers:
+        qs = load_quantizers(args.quantizers)
+        sq = simquant_from_quantizers(
+            qs, v_mode=args.v_mode, n_kv_heads=cfg.n_kv_heads
+        )
+        print(f"quantizers: {qs.bits}-bit, sparsity "
+              f"{qs.sparsity_threshold}, sink {qs.first_few_fp16}")
+
+    ppl = perplexity(params, cfg, jnp.asarray(test), simquant=sq)
+    tag = "quantized" if sq else "fp16"
+    print(f"{tag} ppl over {test.shape[0]}x{test.shape[1]} tokens: {ppl:.4f}")
+    return ppl
+
+
+if __name__ == "__main__":
+    main()

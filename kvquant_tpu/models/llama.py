@@ -310,8 +310,16 @@ def simquant_v(v, arrs, cfg: SimQuantConfig):
 # forward
 # ---------------------------------------------------------------------------
 
-def _attention(q, k, v, cfg: ModelConfig, positions):
-    """Causal full-sequence attention. q: (B,T,H,Dh), k/v: (B,T,Hkv,Dh)."""
+def _mask(cfg: ModelConfig, pq, pk):
+    """causal (+ optional sliding window) mask from absolute positions."""
+    m = pk <= pq
+    if cfg.sliding_window is not None:
+        m &= pk > pq - cfg.sliding_window
+    return m
+
+
+def _attention_full(q, k, v, cfg: ModelConfig, positions):
+    """Materialized causal attention. q: (B,T,H,Dh), k/v: (B,T,Hkv,Dh)."""
     B, T, H, Dh = q.shape
     g = cfg.q_per_kv
     qh = q.reshape(B, T, cfg.n_kv_heads, g, Dh)
@@ -319,12 +327,7 @@ def _attention(q, k, v, cfg: ModelConfig, positions):
         "bqhgd,bkhd->bhgqk", qh, k, preferred_element_type=jnp.float32
     ) / (Dh**0.5)
 
-    # causal (+ optional sliding window) mask from absolute positions
-    pq = positions[:, :, None]
-    pk = positions[:, None, :]
-    mask = pk <= pq
-    if cfg.sliding_window is not None:
-        mask &= pk > pq - cfg.sliding_window
+    mask = _mask(cfg, positions[:, :, None], positions[:, None, :])
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -332,6 +335,68 @@ def _attention(q, k, v, cfg: ModelConfig, positions):
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, H * Dh).astype(q.dtype)
+
+
+def _attention_chunked(q, k, v, cfg: ModelConfig, positions, chunk: int):
+    """Blockwise online-softmax (flash-style) causal attention: O(T*chunk)
+    score memory instead of O(T^2). The reference's long-prompt path is
+    flash-attn fp16 (deployment modeling_llama.py:1860-1873); on TPU the
+    blockwise formulation maps to a lax.scan over KV chunks that XLA
+    pipelines — no custom kernel needed for the prompt phase.
+    """
+    B, T, H, Dh = q.shape
+    g = cfg.q_per_kv
+    Hkv = cfg.n_kv_heads
+    nb = T // chunk
+    assert T % chunk == 0
+    qh = (
+        q.reshape(B, T, Hkv, g, Dh).astype(jnp.float32) / (Dh**0.5)
+    )
+
+    kb = k.astype(jnp.float32).reshape(B, nb, chunk, Hkv, Dh)
+    vb = v.astype(jnp.float32).reshape(B, nb, chunk, Hkv, Dh)
+    pb = positions.reshape(B, nb, chunk)
+    kb = jnp.moveaxis(kb, 1, 0)
+    vb = jnp.moveaxis(vb, 1, 0)
+    pb = jnp.moveaxis(pb, 1, 0)
+
+    def body(carry, blk):
+        m, l, acc = carry  # (B,Hkv,g,T), (B,Hkv,g,T), (B,Hkv,g,T,Dh)
+        k_c, v_c, p_c = blk
+        s = jnp.einsum("bqhgd,bkhd->bhgqk", qh, k_c,
+                       preferred_element_type=jnp.float32)
+        mask = _mask(cfg, positions[:, :, None], p_c[:, None, :])
+        s = jnp.where(mask[:, None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # guard: fully-masked rows keep m = -inf; exp(-inf - -inf) -> use 0
+        corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(jnp.isfinite(s), p, 0.0)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhgqk,bkhd->bhgqd", p, v_c, preferred_element_type=jnp.float32
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((B, Hkv, g, T), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, g, T), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, g, T, Dh), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kb, vb, pb))
+
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = jnp.moveaxis(out, 3, 1)  # (B,T,Hkv,g,Dh)
+    return out.reshape(B, T, H * Dh).astype(q.dtype)
+
+
+def _attention(q, k, v, cfg: ModelConfig, positions, chunk=None):
+    """Causal attention; switches to the blockwise path for long sequences
+    (or when ``chunk`` is forced)."""
+    T = q.shape[1]
+    if chunk is None and T > 4096:
+        chunk = 2048
+    if chunk is not None and T % chunk == 0 and T > chunk:
+        return _attention_chunked(q, k, v, cfg, positions, chunk)
+    return _attention_full(q, k, v, cfg, positions)
 
 
 def forward(
@@ -343,6 +408,7 @@ def forward(
     simquant: SimQuantParams | None = None,
     capture_kv: bool = False,
     kv_probes=None,  # dict(k=(L,B,T,C), v=(L,B,T,C)) zeros — Fisher probes
+    attn_chunk: int | None = None,  # force blockwise attention chunk size
 ):
     """Full-sequence forward. Returns (logits fp32 (B,T,V), aux dict).
 
@@ -387,7 +453,7 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        attn = _attention(q, k, v, cfg, positions)
+        attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
         x = x + attn @ lp["wo"]
 
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)

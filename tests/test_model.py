@@ -161,3 +161,29 @@ class TestSimQuantE2E:
                 err += float(jnp.mean((vd[0] - v_acts[i]) ** 2))
             mses[bits] = err
         assert mses[4] < mses[2]
+
+
+class TestChunkedAttention:
+    def test_chunked_matches_full(self):
+        # fp32 params: the full path keeps probs in the param dtype, so bf16
+        # runs differ at the 2^-8 level between the two formulations
+        cfg = TINY_LLAMA
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size)
+        full, _ = forward(params, cfg, tokens)
+        chunked, _ = forward(params, cfg, tokens, attn_chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=1e-4, rtol=1e-3
+        )
+
+    def test_chunked_sliding_window(self):
+        import dataclasses
+        from kvquant_tpu.models import TINY_LLAMA
+        cfg = dataclasses.replace(TINY_LLAMA, sliding_window=24)
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, cfg.vocab_size)
+        full, _ = forward(params, cfg, tokens)
+        chunked, _ = forward(params, cfg, tokens, attn_chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=1e-4, rtol=1e-4
+        )
