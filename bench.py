@@ -96,13 +96,16 @@ def main():
         i32max = (1 << 31) - 1
         def ri(a):
             return jax.random.randint(ks[0], a.shape, 0, i32max, jnp.int32)
+        from kvquant_tpu.ops.packing import encode_outlier_words
+
+        kv_out = encode_outlier_words(
+            jax.random.normal(ks[1], c.kv_out.shape) * 0.1,
+            jax.random.randint(ks[2], c.kv_out.shape, 0, cfg.d_head),
+        )
         return dataclasses.replace(
             c,
             k_planes=ri(c.k_planes), v_planes=ri(c.v_planes),
-            k_ovals=jax.random.normal(ks[1], c.k_ovals.shape) * 0.1,
-            k_oidx=jax.random.randint(ks[2], c.k_oidx.shape, 0, cfg.kv_hidden),
-            v_ovals=jax.random.normal(ks[3], c.v_ovals.shape) * 0.1,
-            v_oidx=jax.random.randint(ks[4], c.v_oidx.shape, 0, cfg.kv_hidden),
+            kv_out=kv_out,
             v_scale=jax.random.uniform(ks[5], c.v_scale.shape) + 0.5,
             v_offset=jax.random.normal(ks[6], c.v_offset.shape) * 0.1,
             k_sink=jax.random.normal(ks[7], c.k_sink.shape) * 0.1,

@@ -6,15 +6,18 @@ modeling_llama.py:352/:978). Per layer (all arrays carry leading (L, B)):
   k_planes / v_planes : (L,B,Hkv,bits,TW,D) int32   bit-plane packed codes,
                         head_dim last (TW = cache_tokens/32 word rows; see
                         ops/packing.py for the group layout)
-  k_ovals / k_oidx    : (L,B,Hkv,Tc,2*cap) fp16/int8  fixed per-(token,
-                        kv-head) budget Key outliers (value minus its dense
-                        dequant; in-head dim index) — the TPU-native
-                        restructuring of the reference's global 42-slot rows
+  kv_out              : (L,B,Hkv,J,Tc) fp32         fixed per-(token,
+                        kv-head) budget outliers for K (slots [0, J/2)) and
+                        V (slots [J/2, J)), each slot ONE fp32 word encoding
+                        (residual value, in-head dim) — see ops/packing.py
+                        encode_outlier_words. The TPU-native restructuring
+                        of the reference's global 42-slot rows
                         (modeling_llama.py:396-397): kernel work scales with
-                        the per-head slot count and the arrays shard over
-                        heads with the packed cache
-  v_ovals / v_oidx    : (L,B,Hkv,Tc,2*cap)          Value outliers (value
-                        minus its clamped dense dequant)
+                        the per-head slot count, the array shards over heads
+                        with the packed cache, and the single merged
+                        (J=8-sublane, token-lane) array is exactly one tile
+                        high — zero padding (separate K/V or value/index
+                        arrays would be tile-padded 2-64x)
   v_scale / v_offset  : (L,B,Tc) fp32               per-token V range — the
                         expanded (max_len, 2**bits) LUT of the reference
                         (:1011) is reconstructed from these 2 scalars + the
@@ -72,7 +75,14 @@ class DeployConfig:
 
     @property
     def n_slots(self) -> int:
-        return 2 * self.cap_per_side
+        """Total outlier slots per (token, kv-head) — K and V sides
+        together — padded to the fp32 8-sublane tile so the merged (J, Tc)
+        outlier array is dense on TPU."""
+        return ((4 * self.cap_per_side + 7) // 8) * 8
+
+    @property
+    def slots_per_kind(self) -> int:
+        return self.n_slots // 2
 
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
@@ -80,10 +90,7 @@ class DeployConfig:
                cap_per_side=None):
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
-            cap_per_side=(
-                outlier_budget_per_side(d_head, sparsity_threshold)
-                if cap_per_side is None else cap_per_side
-            ),
+            cap_per_side=(2 if cap_per_side is None else cap_per_side),
             sink=sink, sparsity_threshold=sparsity_threshold,
             include_sparse=include_sparse, kernel=kernel,
             v_range_exclude=outlier_budget_per_side(
@@ -97,10 +104,7 @@ class DeployConfig:
 class KVCache:
     k_planes: Any
     v_planes: Any
-    k_ovals: Any
-    k_oidx: Any
-    v_ovals: Any
-    v_oidx: Any
+    kv_out: Any
     v_scale: Any
     v_offset: Any
     k_sink: Any
@@ -123,16 +127,11 @@ def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
     def z(shape, dt):
         return jnp.zeros(shape, dt)
 
-    # outliers stored compactly: fp16 residuals (the reference keeps fp16
-    # outliers) + int8 in-head dim indices (d_head <= 128)
-    oi_dt = jnp.int8 if D <= 128 else jnp.int32
+    assert D <= 128, "outlier words encode a 7-bit in-head dim"
     return KVCache(
         k_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
         v_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
-        k_ovals=z((L, B, H, Tc, ns), jnp.float16),
-        k_oidx=z((L, B, H, Tc, ns), oi_dt),
-        v_ovals=z((L, B, H, Tc, ns), jnp.float16),
-        v_oidx=z((L, B, H, Tc, ns), oi_dt),
+        kv_out=z((L, B, H, ns, Tc), jnp.float32),
         v_scale=z((L, B, Tc), jnp.float32),
         v_offset=z((L, B, Tc), jnp.float32),
         k_sink=z((L, B, H, S, D), jnp.float32),
@@ -151,11 +150,7 @@ def cache_bytes(dcfg: DeployConfig, n_layers: int, batch: int) -> dict:
     C = dcfg.kv_hidden
     Tc = dcfg.cache_tokens
     packed = 2 * n_layers * batch * C * dcfg.bits * Tc // 8
-    oi_bytes = 1 if dcfg.d_head <= 128 else 4
-    outliers = (
-        2 * n_layers * batch * dcfg.n_kv_heads * Tc * dcfg.n_slots
-        * (2 + oi_bytes)
-    )
+    outliers = n_layers * batch * dcfg.n_kv_heads * Tc * dcfg.n_slots * 4
     vlut = 2 * n_layers * batch * Tc * 4
     sink = 2 * n_layers * batch * C * dcfg.sink * 4
     fp16 = 2 * n_layers * batch * C * dcfg.max_len * 2

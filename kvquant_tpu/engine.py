@@ -65,7 +65,9 @@ def prefill(
 
     Returns (cache, logits_last (B, V) fp32).
     """
-    logits, aux = llama.forward(params, cfg, tokens, capture_kv=True)
+    from .models import get_forward
+
+    logits, aux = get_forward(cfg)(params, cfg, tokens, capture_kv=True)
     k_acts = aux["k_acts"]  # (L, B, T0, C) fp32 pre-RoPE
     v_acts = aux["v_acts"]
 
@@ -103,7 +105,9 @@ def decode_step(
     The reference feeds only the last token per step in kvquant mode
     (generation/utils.py:2680-2685); position bookkeeping lives in ``pos``.
     """
-    assert cfg.sliding_window is None, "sliding-window decode not yet supported"
+    from .models.moe import MoEConfig, split_qkv, moe_ffn
+
+    is_moe = isinstance(cfg, MoEConfig)
     B = token.shape[0]
     H, Dh = cfg.n_heads, cfg.d_head
 
@@ -117,9 +121,13 @@ def decode_step(
         cache_l = _merge_cache(arr_l, length)
 
         h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(B, H, Dh)
-        k = h @ lp["wk"]
-        v = h @ lp["wv"]
+        if is_moe:
+            q, k, v = split_qkv(h @ lp["w_qkv"], cfg)
+            q = q.reshape(B, H, Dh)
+        else:
+            q = (h @ lp["wq"]).reshape(B, H, Dh)
+            k = h @ lp["wk"]
+            v = h @ lp["wv"]
 
         cache_l, attn = deployed.decode_attention(
             cache_l, lq, dcfg, cfg, q, k, v, pos
@@ -127,7 +135,10 @@ def decode_step(
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
 
         h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        if is_moe:
+            x = x + moe_ffn(h[:, None], lp, cfg)[:, 0].astype(x.dtype)
+        else:
+            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
 
         new_arrays, new_len = _split_cache(cache_l)
         return x, (new_arrays, new_len)

@@ -6,10 +6,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models import llama
+from ..models import llama, get_forward
 
 
-def perplexity(params, cfg, token_windows, simquant=None):
+def perplexity(params, cfg, token_windows, simquant=None, forward_fn=None):
     """token_windows: (N, T) int32 array or iterable of (B, T) batches.
     Returns ppl over all next-token positions."""
 
@@ -20,7 +20,7 @@ def perplexity(params, cfg, token_windows, simquant=None):
             if sq_arrays is None
             else llama.SimQuantParams(arrays=sq_arrays, config=simquant.config)
         )
-        logits, _ = llama.forward(p, cfg, tokens, simquant=sq)
+        logits, _ = (forward_fn or get_forward(cfg))(p, cfg, tokens, simquant=sq)
         logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

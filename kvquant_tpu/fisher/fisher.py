@@ -23,7 +23,9 @@ from ..models.config import ModelConfig
 
 def clm_loss(params, cfg: ModelConfig, tokens, kv_probes=None):
     """Mean next-token cross-entropy (labels = inputs shifted)."""
-    logits, _ = llama.forward(params, cfg, tokens, kv_probes=kv_probes)
+    from ..models import get_forward
+
+    logits, _ = get_forward(cfg)(params, cfg, tokens, kv_probes=kv_probes)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -170,10 +170,12 @@ class SimQuantParams:
     config: SimQuantConfig
 
 
-def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1) -> SimQuantParams:
+def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
+                             cap_per_side=2) -> SimQuantParams:
     """Build stacked simulated-quant params from a QuantizerSet artifact.
     ``n_kv_heads`` sets the per-(token, kv-head) outlier budget granularity
-    (pass the model's kv-head count to match the deployed path)."""
+    and ``cap_per_side`` the per-head budget — pass the model's kv-head
+    count and the DeployConfig's cap so the oracle matches deployment."""
     import numpy as np
 
     k_lower = np.stack([lq.k.lower for lq in qs.layers])
@@ -204,11 +206,7 @@ def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1) -> SimQuantParams:
         bits=qs.bits,
         include_sparse=True,
         sparsity_threshold=qs.sparsity_threshold,
-        cap_per_side=outlier_budget_per_side(
-            C // n_kv_heads, qs.sparsity_threshold
-        )
-        if qs.cap_outliers
-        else 0,
+        cap_per_side=cap_per_side if qs.cap_outliers else 0,
         n_kv_heads=n_kv_heads,
         v_range_exclude=outlier_budget_per_side(C, qs.sparsity_threshold),
         first_few_fp16=qs.first_few_fp16,

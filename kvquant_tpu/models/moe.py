@@ -1,0 +1,181 @@
+"""DBRX-style Mixture-of-Experts transformer with fused Wqkv attention.
+
+Reference parity target: the DBRX simulated-quantization pipeline
+(quant/dbrx_simquant.py + quant/kvquant/simquant_module_quantizer_dbrx.py):
+a fused Wqkv projection whose output is sliced into Q / K / V, with the K
+slice quantized per-channel (static thresholds) and the V slice per-token
+(dynamic), GQA kv-heads, and an MoE FFN (router + top-k gated experts).
+The reference evaluates DBRX with simulated quantization only (no deployed
+kernels); here the same KVCache/engine machinery applies because the cache
+only sees (k, v) activations regardless of how they were projected.
+
+TPU-first formulation:
+  - experts are computed densely and combined with the (top-k masked)
+    router weights: out = sum_e w_e(x) * expert_e(x). Exact for top-k
+    routing, fully MXU-batched and shardable (experts stack on a leading E
+    axis that maps to an "ep"/"tp" mesh axis); capacity-based dispatch is a
+    serving optimization, not a semantics change.
+  - the fused Wqkv matmul stays fused (one MXU call); K/V emerge as static
+    slices (reference slicing at simquant_module_quantizer_dbrx.py:602-640).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .llama import (
+    rms_norm, rope_cos_sin, apply_rope, _attention,
+    SimQuantParams, simquant_k, simquant_v,
+)
+
+
+@dataclass(frozen=True)
+class MoEConfig(ModelConfig):
+    n_experts: int = 8
+    top_k: int = 2
+
+
+TINY_MOE = MoEConfig(
+    vocab_size=256, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    d_head=16, d_ff=96, max_seq_len=256, n_experts=4, top_k=2,
+)
+
+
+def init_params(key, cfg: MoEConfig, dtype=jnp.bfloat16):
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / shape[-2] ** 0.5 if len(shape) > 1 else 0.02)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    L, D, H, Hkv, Dh, F, E = (
+        cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.d_head,
+        cfg.d_ff, cfg.n_experts,
+    )
+    qkv_out = (H + 2 * Hkv) * Dh
+    ks = jax.random.split(k_layers, 7)
+    layers = dict(
+        w_qkv=dense(ks[0], (L, D, qkv_out)),
+        wo=dense(ks[1], (L, H * Dh, D)),
+        w_router=dense(ks[2], (L, D, E)),
+        w_gate=dense(ks[3], (L, E, D, F)),
+        w_up=dense(ks[4], (L, E, D, F)),
+        w_down=dense(ks[5], (L, E, F, D)),
+        ln_attn=jnp.ones((L, D), jnp.float32),
+        ln_mlp=jnp.ones((L, D), jnp.float32),
+    )
+    params = dict(
+        embed=dense(k_embed, (cfg.vocab_size, D), scale=0.02),
+        final_norm=jnp.ones((D,), jnp.float32),
+        layers=layers,
+    )
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(k_head, (D, cfg.vocab_size))
+    return params
+
+
+def moe_ffn(h, lp, cfg: MoEConfig):
+    """Top-k gated expert MLP, computed densely and mask-combined."""
+    logits = (h @ lp["w_router"]).astype(jnp.float32)  # (B, T, E)
+    top_vals, _ = jax.lax.top_k(logits, cfg.top_k)
+    thresh = top_vals[..., -1:]
+    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    w = jax.nn.softmax(masked, axis=-1).astype(h.dtype)  # (B, T, E)
+
+    gate = jnp.einsum("btd,edf->btef", h, lp["w_gate"])
+    up = jnp.einsum("btd,edf->btef", h, lp["w_up"])
+    y = jnp.einsum("btef,efd->bted", jax.nn.silu(gate) * up, lp["w_down"])
+    return jnp.einsum("bte,bted->btd", w, y)
+
+
+def split_qkv(y, cfg: MoEConfig):
+    """Slice the fused projection output into (q, k, v) — reference
+    simquant_module_quantizer_dbrx.py:711 (y[:, 6144:7168] = K, rest = V)."""
+    q_dim = cfg.n_heads * cfg.d_head
+    kv = cfg.n_kv_heads * cfg.d_head
+    return (
+        y[..., :q_dim],
+        y[..., q_dim:q_dim + kv],
+        y[..., q_dim + kv:],
+    )
+
+
+def forward(
+    params,
+    cfg: MoEConfig,
+    tokens,
+    *,
+    positions=None,
+    simquant: SimQuantParams | None = None,
+    capture_kv: bool = False,
+    kv_probes=None,
+    attn_chunk: int | None = None,
+):
+    """Full-sequence forward; same aux contract as models.llama.forward, so
+    calibration / Fisher / ppl / engine prefill all reuse it unchanged."""
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    cos, sin = rope_cos_sin(positions, cfg)
+
+    x = jnp.take(params["embed"], tokens, axis=0)
+    sq_cfg = simquant.config if simquant is not None else None
+
+    def layer_fn(x, scanned):
+        lp = scanned["p"]
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        y = h @ lp["w_qkv"]
+        q, k, v = split_qkv(y, cfg)
+
+        if kv_probes is not None:
+            k = k + scanned["probe_k"]
+            v = v + scanned["probe_v"]
+
+        captured = (
+            (k.astype(jnp.float32), v.astype(jnp.float32))
+            if capture_kv
+            else (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        )
+
+        if simquant is not None:
+            sq = scanned["sq"]
+            k = simquant_k(k, sq, sq_cfg)
+            v = simquant_v(v, sq, sq_cfg)
+
+        q = q.reshape(B, T, cfg.n_heads, cfg.d_head)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
+        x = x + attn @ lp["wo"]
+
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
+        return x, captured
+
+    scanned = {"p": params["layers"]}
+    if simquant is not None:
+        scanned["sq"] = simquant.arrays
+    if kv_probes is not None:
+        scanned["probe_k"] = kv_probes["k"]
+        scanned["probe_v"] = kv_probes["v"]
+
+    x, (k_acts, v_acts) = jax.lax.scan(layer_fn, x, scanned)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+
+    aux = {}
+    if capture_kv:
+        aux["k_acts"] = k_acts
+        aux["v_acts"] = v_acts
+    return logits, aux

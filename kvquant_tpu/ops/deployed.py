@@ -39,7 +39,10 @@ from ..cache import KVCache, DeployConfig, DeployedQuant
 from ..models.config import ModelConfig
 from ..models.llama import rope_cos_sin, rotate_half
 from ..quant.nuq import nearest_codes, lut_lookup
-from .packing import pack_codes, unpack_codes, set_token_codes
+from .packing import (
+    pack_codes, unpack_codes, set_token_codes,
+    encode_outlier_words, decode_outlier_words,
+)
 
 
 def rotate_half_axis(x, axis):
@@ -70,6 +73,18 @@ def _headwise_residual_outliers(xf, resc, deq, cap: int):
     return jnp.where(genuine, x_at - d_at, 0.0), oidx
 
 
+def _encode_padded(ovals, oidx, n_slots: int):
+    """(..., Hkv, 2*cap) residuals/dims -> (..., Hkv, n_slots) encoded fp32
+    words, zero-padded."""
+    words = encode_outlier_words(ovals, oidx)
+    # non-genuine slots carry value 0: their encoded word is just the dim
+    # bits (a denormal), which decodes back to value exactly 0 — harmless
+    pad = n_slots - words.shape[-1]
+    if pad:
+        words = jnp.pad(words, ((0, 0),) * (words.ndim - 1) + ((0, pad),))
+    return words
+
+
 def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
     """Quantize pre-RoPE keys (..., C) -> (codes (..., Hkv, D),
     outlier_vals (..., Hkv, 2*cap), outlier_idx (..., Hkv, 2*cap)).
@@ -85,7 +100,7 @@ def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
     codes = nearest_codes(xn, lq.k_lut_enc)
     deq = lut_lookup(lq.k_lut_dec, codes) * hr + zp
 
-    ovals = oidx = None
+    out_words = None
     if dcfg.include_sparse:
         base = jnp.abs(xn) > 1.0
         resc = jnp.where(base, jnp.abs(xn), 0.0)
@@ -93,7 +108,8 @@ def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
         ovals, oidx = _headwise_residual_outliers(
             kf, signed, deq, dcfg.cap_per_side
         )
-    return codes, ovals, oidx
+        out_words = _encode_padded(ovals, oidx, dcfg.slots_per_kind)
+    return codes, out_words
 
 
 def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
@@ -119,7 +135,7 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
     codes = nearest_codes(xn, lq.v_lut_enc)
     deq = lut_lookup(lq.v_lut_dec, codes) * scale[..., None] + offset[..., None]
 
-    ovals = oidx = None
+    out_words = None
     if dcfg.include_sparse:
         base = jnp.abs(xn) > 1.0
         resc = jnp.where(base, jnp.abs(xn), 0.0)
@@ -127,21 +143,21 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
         ovals, oidx = _headwise_residual_outliers(
             vh, signed, deq, dcfg.cap_per_side
         )
-    return codes, ovals, oidx, scale[..., 0], offset[..., 0]
+        out_words = _encode_padded(ovals, oidx, dcfg.slots_per_kind)
+    return codes, out_words, scale[..., 0], offset[..., 0]
 
 
 # ---------------------------------------------------------------------------
 # full-cache dequantization (reference path; production uses Pallas kernels)
 # ---------------------------------------------------------------------------
 
-def _outlier_addend(ovals, oidx, d_head):
-    """(B, Hkv, Tc, J) per-head sparse rows -> dense (B, Hkv, Tc, D) addend,
-    via a one-hot contraction (XLA scatter serializes on TPU). Padding slots
-    carry value 0, so index collisions are harmless."""
-    onehot = (
-        oidx.astype(jnp.int32)[..., None] == jnp.arange(d_head)
-    ).astype(jnp.float32)
-    return jnp.einsum("bhtj,bhtjd->bhtd", ovals.astype(jnp.float32), onehot)
+def _outlier_addend(out_words, d_head):
+    """(B, Hkv, J, Tc) encoded per-head slots -> dense (B, Hkv, Tc, D)
+    addend, via a one-hot contraction (XLA scatter serializes on TPU).
+    Padding slots decode to value 0, so index collisions are harmless."""
+    vals, idx = decode_outlier_words(out_words)
+    onehot = (idx[..., None] == jnp.arange(d_head)).astype(jnp.float32)
+    return jnp.einsum("bhjt,bhjtd->bhtd", vals, onehot)
 
 
 def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
@@ -152,7 +168,9 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
         lq.k_offset[:, None, :]
     )
     if dcfg.include_sparse and with_outliers:
-        deq = deq + _outlier_addend(cache_l.k_ovals, cache_l.k_oidx, dcfg.d_head)
+        deq = deq + _outlier_addend(
+            cache_l.kv_out[:, :, : dcfg.slots_per_kind], dcfg.d_head
+        )
     return deq
 
 
@@ -164,13 +182,26 @@ def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
         cache_l.v_offset[:, None, :, None]
     )
     if dcfg.include_sparse and with_outliers:
-        deq = deq + _outlier_addend(cache_l.v_ovals, cache_l.v_oidx, dcfg.d_head)
+        deq = deq + _outlier_addend(
+            cache_l.kv_out[:, :, dcfg.slots_per_kind :], dcfg.d_head
+        )
     return deq
 
 
 # ---------------------------------------------------------------------------
 # predicated row writes
 # ---------------------------------------------------------------------------
+
+def _write_out_slots(arr, words, p, pred, row0: int):
+    """Write one token's outlier words into slot rows [row0, row0+n) of the
+    merged (B, Hkv, J, Tc) array; no-op when pred is False."""
+    B, H, _, Tc = arr.shape
+    n = words.shape[-1]
+    p = jnp.clip(p, 0, Tc - 1)
+    old = jax.lax.dynamic_slice(arr, (0, 0, row0, p), (B, H, n, 1))
+    new = jnp.where(pred, words[..., None].astype(arr.dtype), old)
+    return jax.lax.dynamic_update_slice(arr, new, (0, 0, row0, p))
+
 
 def _write_row(arr, row, i, pred, axis):
     """dynamic_update_slice of one row along ``axis`` that becomes a no-op
@@ -210,7 +241,7 @@ def decode_attention(
     # ---- append K ----
     k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     k_roped = k_h * cos + rotate_half(k_h) * sin
-    codes_k, k_ovals, k_oidx = quantize_k(k_new, lq, dcfg)
+    codes_k, k_words = quantize_k(k_new, lq, dcfg)
 
     k_sink = cache_l.k_sink
     v_sink = cache_l.v_sink
@@ -222,10 +253,9 @@ def decode_attention(
     if S > 0:
         k_planes = jnp.where(in_sink, cache_l.k_planes, k_planes)
     if dcfg.include_sparse:
-        k_ov = _write_row(cache_l.k_ovals, k_ovals, p, ~in_sink, axis=2)
-        k_oi = _write_row(cache_l.k_oidx, k_oidx, p, ~in_sink, axis=2)
+        kv_out = _write_out_slots(cache_l.kv_out, k_words, p, ~in_sink, 0)
     else:
-        k_ov, k_oi = cache_l.k_ovals, cache_l.k_oidx
+        kv_out = cache_l.kv_out
 
     # ---- scores ----
     q_h = q.reshape(B, Hkv, G, Dh).astype(jnp.float32)
@@ -233,8 +263,7 @@ def decode_attention(
     inv = 1.0 / (Dh**0.5)
 
     cache_tmp = KVCache(
-        k_planes=k_planes, v_planes=cache_l.v_planes, k_ovals=k_ov,
-        k_oidx=k_oi, v_ovals=cache_l.v_ovals, v_oidx=cache_l.v_oidx,
+        k_planes=k_planes, v_planes=cache_l.v_planes, kv_out=kv_out,
         v_scale=cache_l.v_scale, v_offset=cache_l.v_offset, k_sink=k_sink,
         v_sink=v_sink, length=cache_l.length,
     )
@@ -242,11 +271,11 @@ def decode_attention(
         from .pallas import qk_fused
 
         dense = jax.vmap(
-            lambda q1, kp1, ov1, oi1: qk_fused(
-                q1, kp1, ov1, oi1, lq.k_range, lq.k_offset, lq.k_lut_dec,
+            lambda q1, kp1, ow1: qk_fused(
+                q1, kp1, ow1, lq.k_range, lq.k_offset, lq.k_lut_dec,
                 dcfg, mcfg,
             )
-        )(q_rot, k_planes, k_ov, k_oi.astype(jnp.int32))
+        )(q_rot, k_planes, kv_out)
     else:
         k_full = dequant_k_full(cache_tmp, lq, dcfg)
         pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
@@ -259,12 +288,16 @@ def decode_attention(
         sink_sc = jnp.einsum("bhgd,bhsd->bhgs", q_rot, k_sink) * inv
         scores = jnp.concatenate([sink_sc, dense], axis=-1)  # (B,Hkv,G,S+Tc)
 
-    valid = jnp.arange(S + Tc, dtype=jnp.int32) <= pos
+    idx = jnp.arange(S + Tc, dtype=jnp.int32)
+    valid = idx <= pos
+    if mcfg.sliding_window is not None:
+        # Mistral-style local attention over the cached positions
+        valid &= idx > pos - mcfg.sliding_window
     scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
 
     # ---- append V ----
-    codes_v, v_ovals, v_oidx, v_sc, v_off = quantize_v(v_new, lq, dcfg)
+    codes_v, v_words, v_sc, v_off = quantize_v(v_new, lq, dcfg)
     v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     if S > 0:
         v_sink = _write_row(v_sink, v_h, pos, in_sink, axis=2)
@@ -274,14 +307,12 @@ def decode_attention(
     v_scale = _write_row(cache_l.v_scale, v_sc, p, ~in_sink, axis=1)
     v_offset = _write_row(cache_l.v_offset, v_off, p, ~in_sink, axis=1)
     if dcfg.include_sparse:
-        v_ov = _write_row(cache_l.v_ovals, v_ovals, p, ~in_sink, axis=2)
-        v_oi = _write_row(cache_l.v_oidx, v_oidx, p, ~in_sink, axis=2)
-    else:
-        v_ov, v_oi = cache_l.v_ovals, cache_l.v_oidx
+        kv_out = _write_out_slots(kv_out, v_words, p, ~in_sink,
+                                  dcfg.slots_per_kind)
 
     new_cache = KVCache(
-        k_planes=k_planes, v_planes=v_planes, k_ovals=k_ov, k_oidx=k_oi,
-        v_ovals=v_ov, v_oidx=v_oi, v_scale=v_scale, v_offset=v_offset,
+        k_planes=k_planes, v_planes=v_planes, kv_out=kv_out,
+        v_scale=v_scale, v_offset=v_offset,
         k_sink=k_sink, v_sink=v_sink,
         length=jnp.full_like(cache_l.length, pos + 1),
     )
@@ -292,10 +323,10 @@ def decode_attention(
         from .pallas import pv_fused
 
         out = jax.vmap(
-            lambda p1, vp1, sc1, of1, ov1, oi1: pv_fused(
-                p1, vp1, sc1, of1, ov1, oi1, lq.v_lut_dec, dcfg
+            lambda p1, vp1, sc1, of1, ow1: pv_fused(
+                p1, vp1, sc1, of1, ow1, lq.v_lut_dec, dcfg
             )
-        )(p_dense, v_planes, v_scale, v_offset, v_ov, v_oi.astype(jnp.int32))
+        )(p_dense, v_planes, v_scale, v_offset, kv_out)
     else:
         v_full = dequant_v_full(new_cache, lq, dcfg)
         out = jnp.einsum("bhgt,bhtd->bhgd", p_dense, v_full)
@@ -350,21 +381,25 @@ def prefill_pack(
         )
 
     def place_head_rows(arr, rows):
-        # rows (B, Tp, Hkv, J) -> arr (B, Hkv, Tc, J) token axis
+        # rows (B, Tp, Hkv, J) -> arr (B, Hkv, J, Tc) token axis last
         return jax.lax.dynamic_update_slice_in_dim(
-            arr, rows.transpose(0, 2, 1, 3).astype(arr.dtype), 0, axis=2
+            arr, rows.transpose(0, 2, 3, 1).astype(arr.dtype), 0, axis=3
         )
 
-    codes_k, k_ovals, k_oidx = quantize_k(k[:, S:], lq, dcfg)
-    codes_v, v_ovals, v_oidx, v_sc, v_off = quantize_v(v[:, S:], lq, dcfg)
+    codes_k, k_words = quantize_k(k[:, S:], lq, dcfg)
+    codes_v, v_words, v_sc, v_off = quantize_v(v[:, S:], lq, dcfg)
+    kv_words = (
+        jnp.concatenate([k_words, v_words], axis=-1)
+        if dcfg.include_sparse else None
+    )
 
     new_cache = KVCache(
         k_planes=place(cache_l.k_planes, codes_k),
         v_planes=place(cache_l.v_planes, codes_v),
-        k_ovals=place_head_rows(cache_l.k_ovals, k_ovals),
-        k_oidx=place_head_rows(cache_l.k_oidx, k_oidx),
-        v_ovals=place_head_rows(cache_l.v_ovals, v_ovals),
-        v_oidx=place_head_rows(cache_l.v_oidx, v_oidx),
+        kv_out=(
+            place_head_rows(cache_l.kv_out, kv_words)
+            if dcfg.include_sparse else cache_l.kv_out
+        ),
         v_scale=place_rows(cache_l.v_scale, v_sc),
         v_offset=place_rows(cache_l.v_offset, v_off),
         k_sink=k_sink,

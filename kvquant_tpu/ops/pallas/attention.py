@@ -99,9 +99,11 @@ def _pick_bt(Tc: int, block_tokens: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _outlier_addend_block(ov, oi, D: int, BT: int, cos=None, sin=None):
+def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None):
     """Build the dense (BT, D) addend of this block's per-head outliers in
-    VMEM (never touches HBM). ov/oi: (BT, J) residual values / in-head dims.
+    VMEM (never touches HBM). ow: (J, BT) encoded fp32 words (residual value
+    bits | 7-bit in-head dim, ops/packing.py) — one transpose puts slots on
+    lanes, then value/dim unpack is two bitmasks.
 
     With cos/sin (the dense path's (BT, D) RoPE tiles), the addend lands
     already rotated: val*cos at its dim and sign*val*sin at its rotate-half
@@ -110,8 +112,12 @@ def _outlier_addend_block(ov, oi, D: int, BT: int, cos=None, sin=None):
     one-hots extracts exactly cos(theta_j) / sin(theta_j) at the right
     columns.
     """
-    J = ov.shape[-1]
+    J = ow.shape[0]
     half = D // 2
+    w = jnp.transpose(ow)  # (BT, J)
+    u = pltpu.bitcast(w, jnp.uint32)
+    oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
+    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
     M = jnp.zeros((BT, D), jnp.float32)
     for j in range(J):
@@ -128,8 +134,8 @@ def _outlier_addend_block(ov, oi, D: int, BT: int, cos=None, sin=None):
     return M
 
 
-def _qk_kernel(q_ref, planes_ref, ov_ref, oi_ref, rng_ref, off_ref, lut_ref,
-               out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse):
+def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
+               out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse, spk):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
     codes = _unpack_block(words, bits, D, BT)  # (BT, D)
@@ -142,7 +148,7 @@ def _qk_kernel(q_ref, planes_ref, ov_ref, oi_ref, rng_ref, off_ref, lut_ref,
     kx = k * cos + k_rot * sin  # (BT, D)
 
     if sparse:
-        kx += _outlier_addend_block(ov_ref[0], oi_ref[0], D, BT, cos, sin)
+        kx += _outlier_addend_block(ow_ref[0, :spk], D, BT, cos, sin)
 
     out_ref[0] = jax.lax.dot_general(
         q_ref[0], kx, (((1,), (1,)), ((), ())),
@@ -150,14 +156,14 @@ def _qk_kernel(q_ref, planes_ref, ov_ref, oi_ref, rng_ref, off_ref, lut_ref,
     )  # (G, BT)
 
 
-def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
-             mcfg, block_tokens: int = 2048):
+def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
+             mcfg, block_tokens: int = 1024):
     """scores (Hkv, G, Tc) = q_rot (Hkv, G, D) . rope(dequant + outliers).
 
-    k_planes: (Hkv, bits, TW, D) int32; k_ovals/k_oidx: (Hkv, Tc, J);
-    k_range/k_offset: (Hkv, D); lut: (2**bits,) fp32 sorted. Unscaled scores
-    (caller applies 1/sqrt(D) and validity masking). Single-batch: vmap for
-    B > 1.
+    k_planes: (Hkv, bits, TW, D) int32; kv_out: (Hkv, J, Tc) merged encoded
+    outlier words (K slots first); k_range/k_offset: (Hkv, D); lut:
+    (2**bits,) fp32 sorted. Unscaled scores (caller applies 1/sqrt(D) and
+    validity masking). Single-batch: vmap for B > 1.
     """
     Hkv, G, D = q_rot.shape
     bits = dcfg.bits
@@ -165,16 +171,16 @@ def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
     Tc = TW * 32
     BT = _pick_bt(Tc, block_tokens)
     K = 2 ** bits
-    J = k_ovals.shape[-1] if k_ovals is not None else 0
+    J = kv_out.shape[-2] if kv_out is not None else 0
     sparse = dcfg.include_sparse and J > 0
     if not sparse:
-        k_ovals = jnp.zeros((Hkv, Tc, 2), jnp.float32)
-        k_oidx = jnp.zeros((Hkv, Tc, 2), jnp.int32)
-        J = 2
+        kv_out = jnp.zeros((Hkv, 8, Tc), jnp.float32)
+        J = 8
 
     kern = functools.partial(
         _qk_kernel, bits=bits, D=D, BT=BT, K=K, sink=dcfg.sink,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling, sparse=sparse,
+        spk=dcfg.slots_per_kind,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -185,9 +191,7 @@ def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
+            pl.BlockSpec((1, J, BT), lambda h, t: (h, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -202,8 +206,7 @@ def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
     )(
         q_rot.astype(jnp.float32),
         k_planes,
-        k_ovals.astype(jnp.float32),
-        k_oidx,
+        kv_out,
         k_range.astype(jnp.float32)[:, None, :],
         k_offset.astype(jnp.float32)[:, None, :],
         lut.astype(jnp.float32),
@@ -215,8 +218,8 @@ def qk_fused(q_rot, k_planes, k_ovals, k_oidx, k_range, k_offset, lut, dcfg,
 # ---------------------------------------------------------------------------
 
 
-def _pv_kernel(p_ref, planes_ref, ov_ref, oi_ref, sc_ref, off_ref, lut_ref,
-               out_ref, *, bits, D, BT, K, sparse):
+def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
+               out_ref, *, bits, D, BT, K, sparse, spk):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)
     codes = _unpack_block(words, bits, D, BT)
@@ -232,7 +235,7 @@ def _pv_kernel(p_ref, planes_ref, ov_ref, oi_ref, sc_ref, off_ref, lut_ref,
     tile = tile + jnp.sum(p * off_ref[0], axis=1, keepdims=True)
 
     if sparse:
-        M = _outlier_addend_block(ov_ref[0], oi_ref[0], D, BT)
+        M = _outlier_addend_block(ow_ref[0, spk:], D, BT)
         tile += jax.lax.dot_general(
             p, M, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -245,28 +248,28 @@ def _pv_kernel(p_ref, planes_ref, ov_ref, oi_ref, sc_ref, off_ref, lut_ref,
     out_ref[0] += tile
 
 
-def pv_fused(probs, v_planes, v_scale, v_offset, v_ovals, v_oidx, lut, dcfg,
-             block_tokens: int = 2048):
+def pv_fused(probs, v_planes, v_scale, v_offset, kv_out, lut, dcfg,
+             block_tokens: int = 1024):
     """out (Hkv, G, D) = probs (Hkv, G, Tc) . (dequant(v_planes) + outliers).
 
     v_planes: (Hkv, bits, TW, D); v_scale/v_offset: (Tc,) per-token range;
-    v_ovals/v_oidx: (Hkv, Tc, J). probs must already be zero at invalid
-    positions. Single-batch.
+    kv_out: (Hkv, J, Tc) merged encoded outlier words (V slots last). probs
+    must already be zero at invalid positions. Single-batch.
     """
     Hkv, G, Tc = probs.shape
     D = v_planes.shape[-1]
     bits = dcfg.bits
     BT = _pick_bt(Tc, block_tokens)
     K = 2 ** bits
-    J = v_ovals.shape[-1] if v_ovals is not None else 0
+    J = kv_out.shape[-2] if kv_out is not None else 0
     sparse = dcfg.include_sparse and J > 0
     if not sparse:
-        v_ovals = jnp.zeros((Hkv, Tc, 2), jnp.float32)
-        v_oidx = jnp.zeros((Hkv, Tc, 2), jnp.int32)
-        J = 2
+        kv_out = jnp.zeros((Hkv, 8, Tc), jnp.float32)
+        J = 8
 
     kern = functools.partial(
-        _pv_kernel, bits=bits, D=D, BT=BT, K=K, sparse=sparse
+        _pv_kernel, bits=bits, D=D, BT=BT, K=K, sparse=sparse,
+        spk=dcfg.slots_per_kind,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -277,9 +280,7 @@ def pv_fused(probs, v_planes, v_scale, v_offset, v_ovals, v_oidx, lut, dcfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, J), lambda h, t: (h, t, 0),
+            pl.BlockSpec((1, J, BT), lambda h, t: (h, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT), lambda h, t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -294,8 +295,7 @@ def pv_fused(probs, v_planes, v_scale, v_offset, v_ovals, v_oidx, lut, dcfg,
     )(
         probs.astype(jnp.float32),
         v_planes,
-        v_ovals.astype(jnp.float32),
-        v_oidx,
+        kv_out,
         v_scale.astype(jnp.float32)[None, :],
         v_offset.astype(jnp.float32)[None, :],
         lut.astype(jnp.float32),

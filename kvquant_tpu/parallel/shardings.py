@@ -33,8 +33,10 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
 
 
 def param_shardings(mesh: Mesh, params) -> dict:
-    """NamedSharding pytree matching the stacked-parameter pytree of
-    models.llama.init_params."""
+    """NamedSharding pytree matching the stacked-parameter pytrees of
+    models.llama.init_params and models.moe.init_params (MoE expert stacks
+    shard their expert axis over "tp" — expert parallelism on the same mesh
+    axis as tensor parallelism; a dedicated "ep" axis is a mesh reshape)."""
     rep = _ns(mesh)
     layer_rules = dict(
         wq=_ns(mesh, None, None, "tp"),
@@ -47,6 +49,17 @@ def param_shardings(mesh: Mesh, params) -> dict:
         ln_attn=rep,
         ln_mlp=rep,
     )
+    if "w_qkv" in params["layers"]:  # MoE family
+        layer_rules = dict(
+            w_qkv=_ns(mesh, None, None, "tp"),
+            wo=_ns(mesh, None, "tp", None),
+            w_router=rep,
+            w_gate=_ns(mesh, None, "tp", None, None),
+            w_up=_ns(mesh, None, "tp", None, None),
+            w_down=_ns(mesh, None, "tp", None, None),
+            ln_attn=rep,
+            ln_mlp=rep,
+        )
     out = dict(
         embed=rep,
         final_norm=rep,
@@ -63,10 +76,7 @@ def cache_shardings(mesh: Mesh) -> KVCache:
     return KVCache(
         k_planes=_ns(mesh, None, "dp", "tp"),
         v_planes=_ns(mesh, None, "dp", "tp"),
-        k_ovals=_ns(mesh, None, "dp", "tp"),
-        k_oidx=_ns(mesh, None, "dp", "tp"),
-        v_ovals=_ns(mesh, None, "dp", "tp"),
-        v_oidx=_ns(mesh, None, "dp", "tp"),
+        kv_out=_ns(mesh, None, "dp", "tp"),
         v_scale=_ns(mesh, None, "dp"),
         v_offset=_ns(mesh, None, "dp"),
         k_sink=_ns(mesh, None, "dp", "tp"),

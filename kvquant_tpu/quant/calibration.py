@@ -32,16 +32,17 @@ from .nuq import nearest_values
 from .outliers import outlier_budget_per_side
 
 
-def collect_kv_activations(params, cfg, batches):
+def collect_kv_activations(params, cfg, batches, forward_fn=None):
     """Run the model over calibration batches capturing pre-RoPE K / V
     projection outputs. Returns (k_acts, v_acts): (L, N_tokens, C) fp32,
     token rows concatenated across batches (the layer-streaming Catcher
     pattern of quant/llama_simquant.py:148-291 collapsed into one jitted
     forward — activations for all layers come out of a single scan)."""
-    from ..models import llama
+    from ..models import get_forward
 
+    forward_fn = forward_fn or get_forward(cfg)
     fwd = jax.jit(
-        lambda p, t: llama.forward(p, cfg, t, capture_kv=True)[1],
+        lambda p, t: forward_fn(p, cfg, t, capture_kv=True)[1],
         static_argnames=(),
     )
     ks, vs = [], []

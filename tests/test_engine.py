@@ -102,3 +102,31 @@ class TestEngineEquivalence:
         )
         assert out.shape == (1, 4)
         assert int(out.min()) >= 0 and int(out.max()) < cfg.vocab_size
+
+
+class TestSlidingWindowDecode:
+    def test_matches_simulated_forward(self):
+        import dataclasses
+        from kvquant_tpu.quant.calibration import collect_kv_activations, fit_quantizers
+        cfg = dataclasses.replace(TINY_LLAMA, sliding_window=12)
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        cal = jax.random.randint(jax.random.PRNGKey(7), (2, 32), 0, cfg.vocab_size)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, cfg.vocab_size)
+        k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
+        qs = fit_quantizers(k_acts, v_acts, bits=4, cap_outliers=True,
+                            first_few_fp16=5, sample_seqlen=32, kmeans_iters=8)
+        dcfg = DeployConfig.create(bits=4, n_kv_heads=cfg.n_kv_heads,
+                                   d_head=cfg.d_head, max_len=37, sink=5)
+        dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+        sq = simquant_from_quantizers(qs, n_kv_heads=cfg.n_kv_heads)
+
+        sim_logits, _ = forward(params, cfg, tokens, simquant=sq)
+        cache = create_cache(dcfg, cfg.n_layers, 1)
+        got = []
+        step = jax.jit(lambda c, t, p: engine.decode_step(params, cfg, dcfg, dq, c, t, p))
+        for t in range(tokens.shape[1]):
+            cache, logits = step(cache, tokens[:, t], jnp.int32(t))
+            got.append(logits)
+        diff = np.abs(np.asarray(jnp.stack(got, 1)) - np.asarray(sim_logits))
+        assert np.quantile(diff, 0.5) < 5e-3, np.quantile(diff, 0.5)
+        assert diff.max() < 0.3, diff.max()

@@ -45,7 +45,7 @@ class TestQKFused:
         rng = np.random.default_rng(1)
         q = jnp.array(rng.normal(size=(HKV, G, DH)).astype(np.float32))
 
-        got = qk_fused(q, planes, None, None, k_range, k_offset, lut, dcfg, MCFG)
+        got = qk_fused(q, planes, None, k_range, k_offset, lut, dcfg, MCFG)
 
         # XLA reference: dequant, rope at absolute positions, contract
         deq = jnp.take(lut, codes) * k_range[:, None, :] + k_offset[:, None, :]
@@ -66,7 +66,7 @@ class TestQKFused:
             bits=4, n_kv_heads=HKV, d_head=DH, max_len=261, sink=5,
         )
         q = jnp.ones((HKV, G, DH), jnp.float32)
-        got = qk_fused(q, planes, None, None, k_range, k_offset, lut, dcfg,
+        got = qk_fused(q, planes, None, k_range, k_offset, lut, dcfg,
                        MCFG, block_tokens=256)
         assert got.shape == (HKV, G, 256)
         assert bool(jnp.isfinite(got).all())
@@ -87,7 +87,7 @@ class TestPVFused:
         v_scale = jnp.array(np.abs(rng.normal(size=Tc)).astype(np.float32) + 0.1)
         v_offset = jnp.array(rng.normal(size=Tc).astype(np.float32) * 0.1)
 
-        got = pv_fused(probs, planes, v_scale, v_offset, None, None, lut, dcfg)
+        got = pv_fused(probs, planes, v_scale, v_offset, None, lut, dcfg)
 
         deq = jnp.take(lut, codes) * v_scale[:, None] + v_offset[:, None]
         want = jnp.einsum("hgt,htd->hgd", probs, deq)
