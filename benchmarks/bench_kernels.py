@@ -83,9 +83,13 @@ def main(argv=None):
     lut = jnp.asarray(np.sort(nf_signposts(bits)))
     k_range = jnp.ones((Hkv, D), jnp.float32)
     k_offset = jnp.zeros((Hkv, D), jnp.float32)
+    from kvquant_tpu.ops.packing import encode_outlier_words
+
     q = jnp.asarray(rng.normal(size=(Hkv, G, D)).astype(np.float32))
-    ov = jnp.asarray(rng.normal(size=(Hkv, Tc, J)).astype(np.float32) * 0.1)
-    oi = jnp.asarray(rng.integers(0, D, size=(Hkv, Tc, J)).astype(np.int32))
+    kv_out = encode_outlier_words(
+        jnp.asarray(rng.normal(size=(Hkv, J, Tc)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.integers(0, D, size=(Hkv, J, Tc)).astype(np.int32)),
+    )
     probs = jnp.asarray(np.abs(rng.normal(size=(Hkv, G, Tc))).astype(np.float32))
     vs = jnp.ones((Tc,), jnp.float32)
     vo = jnp.zeros((Tc,), jnp.float32)
@@ -95,13 +99,13 @@ def main(argv=None):
 
     results = {}
     results["qk_fused(sparse)"] = timed_loop(
-        lambda: qk_fused(q, planes, ov, oi, k_range, k_offset, lut, dcfg, mcfg),
+        lambda: qk_fused(q, planes, kv_out, k_range, k_offset, lut, dcfg, mcfg),
         iters=args.iters)
     results["qk_fused(dense)"] = timed_loop(
-        lambda: qk_fused(q, planes, None, None, k_range, k_offset, lut, dcfg, mcfg),
+        lambda: qk_fused(q, planes, None, k_range, k_offset, lut, dcfg, mcfg),
         iters=args.iters)
     results["pv_fused(sparse)"] = timed_loop(
-        lambda: pv_fused(probs, planes, vs, vo, ov, oi, lut, dcfg),
+        lambda: pv_fused(probs, planes, vs, vo, kv_out, lut, dcfg),
         iters=args.iters)
     results["fp16_qk_matvec"] = timed_loop(
         lambda: jnp.einsum("hgd,htd->hgt", q, kf.astype(jnp.float32)),

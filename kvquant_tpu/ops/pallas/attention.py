@@ -44,44 +44,53 @@ GROUP = 128  # tokens per packing group (see ops/packing.py layout docs)
 WPG = 4
 
 
-def _unpack_block(words_u32, bits: int, D: int, BT: int):
-    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) int32 codes.
+def _unpack_dequant_block(words_u32, lut_ref, bits: int, D: int, BT: int):
+    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) fp32 dequantized.
 
     Per 128-token group: token row r holds word r % 4 (pltpu.repeat tile
     semantics along sublanes) shifted right by r // 4 — the packing layout
-    is designed for exactly this reconstruction.
+    is designed for exactly this reconstruction. The 2^bits-entry LUT is
+    evaluated as a mux tree directly on the bit masks (2^bits - 1 selects,
+    no code assembly, no compares) — the kernel is VPU-bound, so every
+    per-element op matters.
     """
     shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
     groups = []
     for g in range(BT // GROUP):
-        codes = jnp.zeros((GROUP, D), jnp.int32)
+        masks = []
         for b in range(bits):
             w = pltpu.repeat(
                 words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
             )
-            bit = (w >> shift) & jnp.uint32(1)
-            codes |= bit.astype(jnp.int32) << b
-        groups.append(codes)
+            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
+        # mux tree: level b selects between subtrees on bit b (LSB first at
+        # the leaves)
+        vals = [lut_ref[i] for i in range(2 ** bits)]
+        level = vals
+        for b in range(bits):
+            level = [
+                jnp.where(masks[b], level[2 * i + 1], level[2 * i])
+                for i in range(len(level) // 2)
+            ]
+        groups.append(level[0])
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
-
-
-def _dequant_chain(codes, lut_ref, K: int):
-    """Select-chain LUT lookup: codes (D, BT) int32 -> fp32."""
-    x = jnp.full(codes.shape, lut_ref[0], jnp.float32)
-    for i in range(1, K):
-        x = jnp.where(codes == i, lut_ref[i], x)
-    return x
 
 
 def _rope_block(D: int, BT: int, t0, sink: int, theta: float, scaling: float):
     """cos/sin (BT, D) for cache block starting at packed index t0.
-    Absolute position of packed index t is sink + t."""
+    Absolute position of packed index t is sink + t. Angles repeat per half
+    (HF rotate-half convention), so the transcendentals — the kernel's
+    dominant VPU cost — run on (BT, D/2) and are concatenated."""
     half = D // 2
-    d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
-    t = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 0) + t0
-    inv_freq = theta ** (-(d % half).astype(jnp.float32) * 2.0 / D)
+    d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
+    t = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t0
+    inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
     ang = ((sink + t).astype(jnp.float32) / scaling) * inv_freq
-    return jnp.cos(ang), jnp.sin(ang)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return (
+        jnp.concatenate([c, c], axis=1),
+        jnp.concatenate([s, s], axis=1),
+    )
 
 
 def _pick_bt(Tc: int, block_tokens: int) -> int:
@@ -138,8 +147,7 @@ def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
                out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse, spk):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
-    codes = _unpack_block(words, bits, D, BT)  # (BT, D)
-    k = _dequant_chain(codes, lut_ref, K)
+    k = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
     k = k * rng_ref[0] + off_ref[0]  # (1, D) ranges broadcast over BT
 
     cos, sin = _rope_block(D, BT, tb * BT, sink, theta, scaling)
@@ -222,8 +230,7 @@ def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
                out_ref, *, bits, D, BT, K, sparse, spk):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)
-    codes = _unpack_block(words, bits, D, BT)
-    deq = _dequant_chain(codes, lut_ref, K)  # (BT, D) normalized values
+    deq = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
 
     p = p_ref[0]  # (G, BT)
     ps = p * sc_ref[0]  # scale folded into probabilities, (G, BT)
