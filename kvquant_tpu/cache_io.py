@@ -1,0 +1,40 @@
+"""KV-cache checkpointing: persist and restore a packed quantized cache.
+
+The reference has no inference-time cache persistence (SURVEY.md §5); for
+million-token contexts re-prefilling a prompt is minutes of work, so
+session checkpointing is a first-class capability here. The cache is a
+pytree of dense arrays — an .npz round-trips it exactly (packed codes and
+encoded outlier words are bit-exact integers/floats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from .cache import KVCache, DeployConfig
+
+
+def save_cache(path: str, cache: KVCache, dcfg: DeployConfig) -> None:
+    arrays = {
+        f.name: np.asarray(getattr(cache, f.name))
+        for f in dataclasses.fields(KVCache)
+    }
+    arrays["__dcfg__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(dcfg)).encode(), dtype=np.uint8
+    )
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_cache(path: str) -> tuple[KVCache, DeployConfig]:
+    with np.load(path) as z:
+        dcfg = DeployConfig(**json.loads(bytes(z["__dcfg__"]).decode()))
+        cache = KVCache(**{
+            f.name: jnp.asarray(z[f.name])
+            for f in dataclasses.fields(KVCache)
+        })
+    return cache, dcfg
