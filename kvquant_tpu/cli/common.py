@@ -25,6 +25,11 @@ def add_model_args(ap: argparse.ArgumentParser):
     ap.add_argument("--toy-heads", type=int, default=8)
     ap.add_argument("--toy-kv-heads", type=int, default=None)
     ap.add_argument("--toy-vocab", type=int, default=32000)
+    ap.add_argument("--moe", action="store_true",
+                    help="toy model is a DBRX-style MoE (fused Wqkv + "
+                         "top-k experts)")
+    ap.add_argument("--toy-experts", type=int, default=4)
+    ap.add_argument("--toy-top-k", type=int, default=2)
 
 
 def add_quant_args(ap: argparse.ArgumentParser):
@@ -57,16 +62,26 @@ def load_model(args):
 
         return load_hf_checkpoint(args.model, dtype=dtype,
                                   max_seq_len=args.maxseqlen)
-    cfg = ModelConfig(
+    common_kw = dict(
         vocab_size=args.toy_vocab, d_model=args.toy_dmodel,
         n_layers=args.toy_layers, n_heads=args.toy_heads,
         n_kv_heads=args.toy_kv_heads or args.toy_heads,
         d_head=args.toy_dmodel // args.toy_heads,
         d_ff=args.toy_dmodel * 3,
     )
+    if getattr(args, "moe", False):
+        from ..models import moe
+
+        cfg = moe.MoEConfig(
+            n_experts=args.toy_experts, top_k=args.toy_top_k, **common_kw
+        )
+        init = moe.init_params
+    else:
+        cfg = ModelConfig(**common_kw)
+        init = llama.init_params
     if args.maxseqlen:
         cfg = cfg.scaled(args.maxseqlen)
-    params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params = init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     return params, cfg
 
 
