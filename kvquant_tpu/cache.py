@@ -58,6 +58,10 @@ class DeployConfig:
     include_sparse: bool = True
     kernel: str = "xla"  # "xla" (reference datapath) or "pallas" (fused)
     v_range_exclude: int = 21  # global extremes/side excluded from V range
+    dot_bf16: bool = True  # bf16 MXU contractions in the fused kernels
+    #   (fp32 accumulate — the same input precision class as the
+    #   reference's fp16 CUDA matmuls; fp32 inputs run the MXU at a
+    #   fraction of rate). Set False for bit-level kernel-vs-XLA tests.
 
     @property
     def kv_hidden(self) -> int:
@@ -87,7 +91,7 @@ class DeployConfig:
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
                sparsity_threshold=0.99, include_sparse=True, kernel="xla",
-               cap_per_side=None):
+               cap_per_side=None, dot_bf16=True):
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
             cap_per_side=(2 if cap_per_side is None else cap_per_side),
@@ -96,6 +100,7 @@ class DeployConfig:
             v_range_exclude=outlier_budget_per_side(
                 n_kv_heads * d_head, sparsity_threshold
             ),
+            dot_bf16=dot_bf16,
         )
 
 

@@ -144,7 +144,8 @@ def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None):
 
 
 def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
-               out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse, spk):
+               out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse, spk,
+               dot_bf16):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
     k = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
@@ -158,8 +159,13 @@ def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
     if sparse:
         kx += _outlier_addend_block(ow_ref[0, :spk], D, BT, cos, sin)
 
+    # bf16 dot inputs, fp32 accumulation: the MXU runs fp32 matmuls at a
+    # fraction of its bf16 rate; the reference's CUDA kernels likewise
+    # contract fp16 inputs with fp32 accumulators
+    ct = jnp.bfloat16 if dot_bf16 else jnp.float32
     out_ref[0] = jax.lax.dot_general(
-        q_ref[0], kx, (((1,), (1,)), ((), ())),
+        q_ref[0].astype(ct), kx.astype(ct),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (G, BT)
 
@@ -188,7 +194,7 @@ def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
     kern = functools.partial(
         _qk_kernel, bits=bits, D=D, BT=BT, K=K, sink=dcfg.sink,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling, sparse=sparse,
-        spk=dcfg.slots_per_kind,
+        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -227,15 +233,17 @@ def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
 
 
 def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
-               out_ref, *, bits, D, BT, K, sparse, spk):
+               out_ref, *, bits, D, BT, K, sparse, spk, dot_bf16):
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)
     deq = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
 
     p = p_ref[0]  # (G, BT)
     ps = p * sc_ref[0]  # scale folded into probabilities, (G, BT)
+    ct = jnp.bfloat16 if dot_bf16 else jnp.float32
     tile = jax.lax.dot_general(
-        ps, deq, (((1,), (0,)), ((), ())),
+        ps.astype(ct), deq.astype(ct),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (G, D)
     # per-token offset contributes to every output dim
@@ -244,7 +252,8 @@ def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
     if sparse:
         M = _outlier_addend_block(ow_ref[0, spk:], D, BT)
         tile += jax.lax.dot_general(
-            p, M, (((1,), (0,)), ((), ())),
+            p.astype(ct), M.astype(ct),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -276,7 +285,7 @@ def pv_fused(probs, v_planes, v_scale, v_offset, kv_out, lut, dcfg,
 
     kern = functools.partial(
         _pv_kernel, bits=bits, D=D, BT=BT, K=K, sparse=sparse,
-        spk=dcfg.slots_per_kind,
+        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(

@@ -24,6 +24,9 @@ MCFG = ModelConfig(
 )
 
 
+EXACT = dict(dot_bf16=False)  # bit-level comparisons vs the fp32 XLA path
+
+
 def make_inputs(bits, Tc=256, seed=0):
     rng = np.random.default_rng(seed)
     codes = rng.integers(0, 2**bits, size=(HKV, Tc, DH)).astype(np.int32)
@@ -41,6 +44,7 @@ class TestQKFused:
         Tc = codes.shape[1]
         dcfg = DeployConfig.create(
             bits=bits, n_kv_heads=HKV, d_head=DH, max_len=Tc + 5, sink=5,
+            **EXACT,
         )
         rng = np.random.default_rng(1)
         q = jnp.array(rng.normal(size=(HKV, G, DH)).astype(np.float32))
@@ -63,7 +67,7 @@ class TestQKFused:
         # Tc = 256 exercises BT == Tc (the minimum legal block)
         codes, planes, lut, k_range, k_offset = make_inputs(4, Tc=256)
         dcfg = DeployConfig.create(
-            bits=4, n_kv_heads=HKV, d_head=DH, max_len=261, sink=5,
+            bits=4, n_kv_heads=HKV, d_head=DH, max_len=261, sink=5, **EXACT,
         )
         q = jnp.ones((HKV, G, DH), jnp.float32)
         got = qk_fused(q, planes, None, k_range, k_offset, lut, dcfg,
@@ -79,6 +83,7 @@ class TestPVFused:
         Tc = codes.shape[1]
         dcfg = DeployConfig.create(
             bits=bits, n_kv_heads=HKV, d_head=DH, max_len=Tc + 5, sink=5,
+            **EXACT,
         )
         rng = np.random.default_rng(4)
         probs = jax.nn.softmax(
@@ -123,7 +128,8 @@ class TestDecodePallasVsXla:
         lq = dq.layer(0)
 
         d_x = DeployConfig.create(bits=bits, n_kv_heads=HKV, d_head=DH,
-                                  max_len=133, sink=5, kernel="xla")
+                                  max_len=133, sink=5, kernel="xla",
+                                  dot_bf16=False)
         d_p = dataclasses.replace(d_x, kernel="pallas")
 
         B, T = 2, 12
@@ -145,3 +151,24 @@ class TestDecodePallasVsXla:
         )
         for fa, fb in zip(jax.tree.leaves(cache_x), jax.tree.leaves(cache_p)):
             np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-5)
+
+
+class TestBf16Dots:
+    def test_bf16_contraction_close_to_fp32(self):
+        """Default kernels contract in bf16 (fp32 accumulate) — same input
+        precision class as the reference's fp16 CUDA matmuls; verify the
+        error stays at the bf16 level."""
+        import dataclasses
+        codes, planes, lut, k_range, k_offset = make_inputs(3)
+        Tc = codes.shape[1]
+        exact = DeployConfig.create(
+            bits=3, n_kv_heads=HKV, d_head=DH, max_len=Tc + 5, sink=5,
+            **EXACT,
+        )
+        fast = dataclasses.replace(exact, dot_bf16=True)
+        q = jnp.array(np.random.default_rng(8).normal(
+            size=(HKV, G, DH)).astype(np.float32))
+        a = qk_fused(q, planes, None, k_range, k_offset, lut, exact, MCFG)
+        b = qk_fused(q, planes, None, k_range, k_offset, lut, fast, MCFG)
+        scale = float(jnp.abs(a).max())
+        assert float(jnp.abs(a - b).max()) < 2e-2 * scale
