@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--maxlen", type=int, default=None)
+    ap.add_argument("--prefill-mode", default="fp16",
+                    choices=["fp16", "quantized"],
+                    help="fp16: reference flash-then-pack semantics; "
+                         "quantized: chunked quantized-trajectory prefill "
+                         "(memory-bounded, decode-consistent)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -50,7 +55,7 @@ def main(argv=None):
     )
     out, _ = engine.generate(
         params, cfg, dcfg, dq, jnp.asarray(ids), gcfg,
-        key=jax.random.PRNGKey(args.seed),
+        key=jax.random.PRNGKey(args.seed), prefill_mode=args.prefill_mode,
     )
     text = tok.decode([int(t) for t in np.asarray(out)[0]])
     print(text)

@@ -191,6 +191,9 @@ def generate(
     *,
     cache: KVCache | None = None,
     key=None,
+    prefill_mode: str = "fp16",  # "fp16" (reference flash-then-pack
+                                 # semantics) or "quantized" (chunked
+                                 # quantized-trajectory prefill)
 ):
     """Prefill + fixed-length decode scan. Returns (tokens (B, N) int32,
     cache). Positions past ``dcfg.max_len`` or after EOS emit ``eos`` (or 0)
@@ -201,7 +204,10 @@ def generate(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    cache, logits = prefill(params, cfg, dcfg, dq, cache, prompt)
+    if prefill_mode == "quantized":
+        cache, logits = prefill_quantized(params, cfg, dcfg, dq, cache, prompt)
+    else:
+        cache, logits = prefill(params, cfg, dcfg, dq, cache, prompt)
 
     pad_id = gcfg.eos_token_id if gcfg.eos_token_id is not None else 0
 
@@ -268,3 +274,98 @@ def deployed_ppl(
     (cache, _, total), _ = jax.lax.scan(step, (cache, logits, jnp.float32(0)), steps)
     n = (T - t0) * B
     return float(jnp.exp(total / n))
+
+
+# ---------------------------------------------------------------------------
+# quantized-trajectory chunked prefill (no reference counterpart: the
+# reference's prompt phase is fp16 flash-attn then parallel pack, so its
+# prompt KV comes from an unquantized trajectory. Here each chunk attends
+# over the already-quantized cache — bit-identical semantics to token-by-
+# token decode, at block throughput, with memory bounded by the chunk)
+# ---------------------------------------------------------------------------
+
+
+def prefill_quantized(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    cache: KVCache,
+    tokens,  # (B, T0) int32 prompt
+    chunk: int = 256,  # multiple of 128
+):
+    """Chunked prefill through the quantized datapath. Returns
+    (cache, logits_last (B, V) fp32). Pad tokens beyond T0 (to reach chunk
+    alignment) are packed but masked from all real queries and overwritten
+    by subsequent decode steps."""
+    from .models.moe import MoEConfig, split_qkv, moe_ffn
+
+    is_moe = isinstance(cfg, MoEConfig)
+    B, T0 = tokens.shape
+    S = dcfg.sink
+    assert T0 > S, "prompt must extend beyond the sink prefix"
+    assert chunk % 128 == 0
+
+    n_pack = T0 - S
+    n_chunks = -(-n_pack // chunk)
+    pad = n_chunks * chunk - n_pack
+    toks = jnp.pad(tokens, ((0, 0), (0, pad)))
+
+    H, Dh = cfg.n_heads, cfg.d_head
+
+    @partial(jax.jit, static_argnames=("sink_fill",))
+    def chunk_step(params, dq, cache, tok_blk, pos0, sink_fill):
+        x = jnp.take(params["embed"], tok_blk, axis=0)  # (B, Tq_all, D)
+        arrays, length = _split_cache(cache)
+
+        def layer_fn(x, scanned):
+            lp = scanned["p"]
+            cache_l = _merge_cache(scanned["c"], length)
+            lq = scanned["q"]
+            h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            if is_moe:
+                qp, k, v = split_qkv(h @ lp["w_qkv"], cfg)
+                qp = qp.reshape(*x.shape[:2], H, Dh)
+            else:
+                qp = (h @ lp["wq"]).reshape(*x.shape[:2], H, Dh)
+                k = h @ lp["wk"]
+                v = h @ lp["wv"]
+            cache_l, attn = deployed.block_attention(
+                cache_l, lq, dcfg, cfg, qp, k, v, pos0,
+                sink_fill=sink_fill,
+            )
+            x = x + (attn.astype(x.dtype) @ lp["wo"])
+            h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+            if is_moe:
+                x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
+            else:
+                x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            new_arrays, new_len = _split_cache(cache_l)
+            return x, (new_arrays, new_len)
+
+        scanned = {"p": params["layers"], "c": arrays, "q": dq}
+        x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed"].T
+        logits = (x @ head).astype(jnp.float32)
+        return _merge_cache(new_arrays, new_lens[0]), logits
+
+    # chunk 0 carries the sink prefix
+    cache, logits = chunk_step(
+        params, dq, cache, toks[:, : S + chunk], jnp.int32(S), True
+    )
+    for ci in range(1, n_chunks):
+        a = S + ci * chunk
+        cache, logits = chunk_step(
+            params, dq, cache, toks[:, a : a + chunk], jnp.int32(a), False
+        )
+
+    # logits of the last REAL token (pad-safe)
+    last_in_chunk = (T0 - 1) - (S + (n_chunks - 1) * chunk) if n_chunks > 1 \
+        else T0 - 1
+    cache = dataclasses.replace(
+        cache, length=jnp.full_like(cache.length, T0)
+    )
+    return cache, logits[:, last_in_chunk]

@@ -407,3 +407,137 @@ def prefill_pack(
         length=jnp.full_like(cache_l.length, T0),
     )
     return new_cache
+
+
+# ---------------------------------------------------------------------------
+# block decode: append + attend a whole 128-aligned token block (the basis
+# of quantized-trajectory chunked prefill — no reference counterpart; the
+# reference's prompt phase is fp16 flash-attn + parallel pack)
+# ---------------------------------------------------------------------------
+
+def block_attention(
+    cache_l: KVCache,
+    lq: DeployedQuant,
+    dcfg: DeployConfig,
+    mcfg: ModelConfig,
+    q,  # (B, Tq, H, Dh) un-roped queries
+    k_new,  # (B, Tq, C) pre-RoPE key projections
+    v_new,  # (B, Tq, C)
+    pos0,  # scalar int32 absolute position of the block's first NON-SINK
+           # token; (pos0 - sink) must be 128-aligned
+    sink_fill: bool = False,  # True: the first `sink` rows of q/k/v are the
+                              # sink tokens (block 0 of a prefill)
+):
+    """Pack ``Tq`` tokens at once and compute attention for every query in
+    the block over cache positions 0..pos0+i (quantized trajectory — each
+    query sees the same dequantized values a later decode step would).
+    Returns (cache_l, out (B, Tq, H, Dh))."""
+    B, Tq_all = q.shape[:2]
+    S, Tc = dcfg.sink, dcfg.cache_tokens
+    Hkv, Dh = dcfg.n_kv_heads, dcfg.d_head
+    G = q.shape[2] // Hkv
+    ns = S if sink_fill else 0
+    Tq = Tq_all - ns  # packed tokens
+    assert Tq % 128 == 0, Tq
+
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    positions = (pos0 - ns) + jnp.arange(Tq_all, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, mcfg)  # (Tq_all, Dh)
+
+    k_sink, v_sink = cache_l.k_sink, cache_l.v_sink
+    if sink_fill and S > 0:
+        k_s = k_new[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32)
+        k_s = k_s * cos[:S, None] + rotate_half(k_s) * sin[:S, None]
+        k_sink = k_s.transpose(0, 2, 1, 3)
+        v_sink = (
+            v_new[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32)
+            .transpose(0, 2, 1, 3)
+        )
+
+    kq, vq = k_new[:, ns:], v_new[:, ns:]
+    codes_k, k_words = quantize_k(kq, lq, dcfg)  # (B,Tq,Hkv,D)
+    codes_v, v_words, v_sc, v_off = quantize_v(vq, lq, dcfg)
+
+    p0 = jnp.maximum(pos0 - S, 0)  # packed offset of the block
+    w0 = p0 // 32
+
+    def place(planes, codes):
+        c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tq,D)
+        words = pack_codes(c, dcfg.bits)  # (B,Hkv,bits,Tq/32,D)
+        return jax.lax.dynamic_update_slice(
+            planes, words, (0, 0, 0, w0, 0)
+        )
+
+    k_planes = place(cache_l.k_planes, codes_k)
+    v_planes = place(cache_l.v_planes, codes_v)
+    if dcfg.include_sparse:
+        kv_words = jnp.concatenate([k_words, v_words], axis=-1)
+        kv_out = jax.lax.dynamic_update_slice(
+            cache_l.kv_out,
+            kv_words.transpose(0, 2, 3, 1).astype(cache_l.kv_out.dtype),
+            (0, 0, 0, p0),
+        )
+    else:
+        kv_out = cache_l.kv_out
+    v_scale = jax.lax.dynamic_update_slice(cache_l.v_scale, v_sc, (0, p0))
+    v_offset = jax.lax.dynamic_update_slice(cache_l.v_offset, v_off, (0, p0))
+
+    new_cache = KVCache(
+        k_planes=k_planes, v_planes=v_planes, kv_out=kv_out,
+        v_scale=v_scale, v_offset=v_offset, k_sink=k_sink, v_sink=v_sink,
+        length=jnp.full_like(cache_l.length, pos0 + Tq),
+    )
+
+    # ---- attention for every query in the block ----
+    q_h = q.reshape(B, Tq_all, Hkv, G, Dh).astype(jnp.float32)
+    q_rot = q_h * cos[:, None, None] + rotate_half(q_h) * sin[:, None, None]
+    q_rot = q_rot.transpose(0, 2, 3, 1, 4)  # (B,Hkv,G,Tq_all,Dh)
+    inv = 1.0 / (Dh**0.5)
+
+    if dcfg.kernel == "pallas":
+        from .pallas import qk_fused
+
+        qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)
+        dense = jax.vmap(
+            lambda q1, kp1, ow1: qk_fused(
+                q1, kp1, ow1, lq.k_range, lq.k_offset, lq.k_lut_dec,
+                dcfg, mcfg,
+            )
+        )(qf, k_planes, kv_out).reshape(B, Hkv, G, Tq_all, Tc)
+    else:
+        k_full = dequant_k_full(new_cache, lq, dcfg)
+        pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
+        ck, sk = rope_cos_sin(pos_cache, mcfg)
+        kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
+        dense = jnp.einsum("bhgqd,bhtd->bhgqt", q_rot, kx)
+    dense = dense * inv
+    scores = dense
+    if S > 0:
+        sink_sc = jnp.einsum("bhgqd,bhsd->bhgqs", q_rot, k_sink) * inv
+        scores = jnp.concatenate([sink_sc, dense], axis=-1)
+
+    idx = jnp.arange(S + Tc, dtype=jnp.int32)
+    valid = idx[None, :] <= positions[:, None]  # (Tq_all, S+Tc)
+    if mcfg.sliding_window is not None:
+        valid &= idx[None, :] > positions[:, None] - mcfg.sliding_window
+    scores = jnp.where(valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+
+    p_dense = probs[..., S:] if S > 0 else probs
+    if dcfg.kernel == "pallas":
+        from .pallas import pv_fused
+
+        pf = p_dense.reshape(B, Hkv, G * Tq_all, Tc)
+        out = jax.vmap(
+            lambda p1, vp1, sc1, of1, ow1: pv_fused(
+                p1, vp1, sc1, of1, ow1, lq.v_lut_dec, dcfg
+            )
+        )(pf, v_planes, v_scale, v_offset, kv_out)
+        out = out.reshape(B, Hkv, G, Tq_all, Dh)
+    else:
+        v_full = dequant_v_full(new_cache, lq, dcfg)
+        out = jnp.einsum("bhgqt,bhtd->bhgqd", p_dense, v_full)
+    if S > 0:
+        out = out + jnp.einsum("bhgqs,bhsd->bhgqd", probs[..., :S], v_sink)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, Tq_all, Hkv * G * Dh)
+    return new_cache, out

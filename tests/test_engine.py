@@ -130,3 +130,60 @@ class TestSlidingWindowDecode:
         diff = np.abs(np.asarray(jnp.stack(got, 1)) - np.asarray(sim_logits))
         assert np.quantile(diff, 0.5) < 5e-3, np.quantile(diff, 0.5)
         assert diff.max() < 0.3, diff.max()
+
+
+class TestQuantizedPrefill:
+    def test_matches_pure_decode_exactly(self, setup):
+        """Chunked quantized-trajectory prefill must reproduce the token-by-
+        token decode trajectory: same cache contents, same next logits."""
+        import dataclasses as dc
+        cfg, params, tokens, dcfg, dq, sq = setup
+        # dot_bf16 off so both paths contract identically
+        dcfg = dc.replace(dcfg, dot_bf16=False, max_len=261 + dcfg.sink)
+        T = tokens.shape[1]
+
+        # path A: token-by-token decode
+        cache_a = create_cache(dcfg, cfg.n_layers, 1)
+        step = jax.jit(
+            lambda c, tok, pos: engine.decode_step(params, cfg, dcfg, dq, c, tok, pos)
+        )
+        for t in range(T):
+            cache_a, logits_a = step(cache_a, tokens[:, t], jnp.int32(t))
+
+        # path B: chunked quantized prefill (chunk 128, T=40 -> 1 padded chunk)
+        cache_b = create_cache(dcfg, cfg.n_layers, 1)
+        cache_b, logits_b = engine.prefill_quantized(
+            params, cfg, dcfg, dq, cache_b, tokens, chunk=128
+        )
+
+        # the same trajectory modulo V-range boundary ties (the token's own
+        # (r+1)-th extreme defines its range, so fp noise between the two
+        # differently-fused programs can flip boundary elements between
+        # exact-outlier and quantized — same brittleness as the sim oracle)
+        diff = np.abs(np.asarray(logits_b) - np.asarray(logits_a))
+        assert np.median(diff) < 5e-3, np.median(diff)
+        assert diff.max() < 0.25, diff.max()
+        assert int(np.argmax(np.asarray(logits_b))) == int(
+            np.argmax(np.asarray(logits_a))
+        )
+        # exact agreement on the sink prefix (no quantization there)
+        for name in ["k_sink", "v_sink"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(cache_a, name)),
+                np.asarray(getattr(cache_b, name)), atol=2e-5, rtol=1e-4,
+                err_msg=name,
+            )
+
+    def test_decode_continues_after_quantized_prefill(self, setup):
+        import dataclasses as dc
+        cfg, params, tokens, dcfg, dq, sq = setup
+        dcfg = dc.replace(dcfg, max_len=261 + dcfg.sink)
+        cache = create_cache(dcfg, cfg.n_layers, 1)
+        cache, logits = engine.prefill_quantized(
+            params, cfg, dcfg, dq, cache, tokens, chunk=128
+        )
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        cache, nxt = engine.decode_step(
+            params, cfg, dcfg, dq, cache, tok, jnp.int32(tokens.shape[1])
+        )
+        assert bool(jnp.isfinite(nxt).all())
