@@ -27,6 +27,9 @@ def main(argv=None):
                     help=".npz from cli.fisher (sample-weights the k-means)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--kmeans-iters", type=int, default=50)
+    ap.add_argument("--mode", default="nuq", choices=["nuq", "nf"],
+                    help="nuq: Fisher-weighted k-means codebooks; nf: "
+                         "NormalFloat signposts (reference --nf)")
     args = ap.parse_args(argv)
 
     params, cfg = common.load_model(args)
@@ -50,7 +53,7 @@ def main(argv=None):
         include_sparse=args.include_sparse, cap_outliers=args.cap_outliers,
         first_few_fp16=args.first_few_fp16, sample_seqlen=args.seqlen,
         fisher_k=fisher_k, fisher_v=fisher_v, qnorm=args.qnorm,
-        seed=args.seed, kmeans_iters=args.kmeans_iters,
+        seed=args.seed, kmeans_iters=args.kmeans_iters, mode=args.mode,
         meta=dict(model=args.model or "toy", dataset=args.dataset),
     )
     save_quantizers(args.output, qs)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .artifacts import KQuantizer, VQuantizer, LayerQuantizers, QuantizerSet
 from .kmeans import weighted_kmeans_1d
-from .nuq import nearest_values
+from .nuq import nearest_values, nf_signposts
 from .outliers import outlier_budget_per_side
 
 
@@ -80,6 +80,8 @@ def fit_channel_quantizer(
     qnorm: bool = False,
     seed: int = 0,
     kmeans_iters: int = 50,
+    mode: str = "nuq",  # "nuq" (Fisher-weighted k-means) or "nf"
+                        # (NormalFloat signposts, reference quant_fn_nf)
 ):
     """Returns dict(upper (C,|N,), lower, lut (2**bits,), normscale, normoffset)."""
     acts = jnp.asarray(acts, jnp.float32)
@@ -125,9 +127,13 @@ def fit_channel_quantizer(
     )
     w = jnp.where(outlier_mask, 0.0, w)
 
-    lut, _ = weighted_kmeans_1d(
-        xn.reshape(-1), w.reshape(-1), k=2**bits, iters=kmeans_iters, seed=seed
-    )
+    if mode == "nf":
+        lut = jnp.asarray(nf_signposts(bits))
+    else:
+        lut, _ = weighted_kmeans_1d(
+            xn.reshape(-1), w.reshape(-1), k=2**bits, iters=kmeans_iters,
+            seed=seed,
+        )
 
     out = dict(
         upper=np.asarray(upper, np.float32),
@@ -160,6 +166,7 @@ def fit_quantizers(
     qnorm: bool = False,
     seed: int = 0,
     kmeans_iters: int = 50,
+    mode: str = "nuq",
     meta: dict | None = None,
 ) -> QuantizerSet:
     layers = []
@@ -171,7 +178,7 @@ def fit_quantizers(
             include_sparse=include_sparse, cap_outliers=cap_outliers,
             first_few_fp16=first_few_fp16, sample_seqlen=sample_seqlen,
             fisher=None if fisher_k is None else fisher_k[i],
-            qnorm=qnorm, seed=seed, kmeans_iters=kmeans_iters,
+            qnorm=qnorm, seed=seed, kmeans_iters=kmeans_iters, mode=mode,
         )
         vq = fit_channel_quantizer(
             v_acts[i], bits, axis=1,
@@ -179,7 +186,7 @@ def fit_quantizers(
             include_sparse=include_sparse, cap_outliers=False,
             first_few_fp16=first_few_fp16, sample_seqlen=sample_seqlen,
             fisher=None if fisher_v is None else fisher_v[i],
-            qnorm=qnorm, seed=seed, kmeans_iters=kmeans_iters,
+            qnorm=qnorm, seed=seed, kmeans_iters=kmeans_iters, mode=mode,
         )
         layers.append(
             LayerQuantizers(

@@ -106,3 +106,27 @@ class TestProfiling:
         assert isinstance(ca, dict)
         dt = device_timed(f, x, iters=5)
         assert dt > 0
+
+
+class TestNFMode:
+    def test_nf_calibration_end_to_end(self):
+        """NormalFloat mode (reference quant_fn_nf / --nf): signpost LUTs
+        instead of k-means codebooks, same deployed datapath."""
+        from kvquant_tpu.quant.nuq import nf_signposts
+        from kvquant_tpu.evals import perplexity
+
+        cfg = TINY_LLAMA
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        cal = jax.random.randint(jax.random.PRNGKey(7), (2, 40), 0, cfg.vocab_size)
+        k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
+        qs = fit_quantizers(
+            k_acts, v_acts, bits=4, cap_outliers=True, first_few_fp16=5,
+            sample_seqlen=40, mode="nf",
+        )
+        np.testing.assert_allclose(
+            qs.layers[0].k.lut, np.sort(nf_signposts(4)), atol=1e-6
+        )
+        sq = simquant_from_quantizers(qs, n_kv_heads=cfg.n_kv_heads)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, cfg.vocab_size)
+        ppl = perplexity(params, cfg, tokens, simquant=sq)
+        assert np.isfinite(ppl) and ppl > 0
