@@ -194,13 +194,19 @@ def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
 
 def _write_out_slots(arr, words, p, pred, row0: int):
     """Write one token's outlier words into slot rows [row0, row0+n) of the
-    merged (B, Hkv, J, Tc) array; no-op when pred is False."""
+    merged (B, Hkv, J, Tc) array at each sample's own column ``p`` (scalar
+    or (B,)); no-op where pred is False."""
     B, H, _, Tc = arr.shape
     n = words.shape[-1]
-    p = jnp.clip(p, 0, Tc - 1)
-    old = jax.lax.dynamic_slice(arr, (0, 0, row0, p), (B, H, n, 1))
-    new = jnp.where(pred, words[..., None].astype(arr.dtype), old)
-    return jax.lax.dynamic_update_slice(arr, new, (0, 0, row0, p))
+    p = jnp.broadcast_to(jnp.clip(p, 0, Tc - 1), (B,))
+    pred = jnp.broadcast_to(pred, (B,))
+
+    def one(a, w, pp, pr):
+        old = jax.lax.dynamic_slice(a, (0, row0, pp), (H, n, 1))
+        new = jnp.where(pr, w[..., None].astype(a.dtype), old)
+        return jax.lax.dynamic_update_slice(a, new, (0, row0, pp))
+
+    return jax.vmap(one)(arr, words, p, pred)
 
 
 def _write_row(arr, row, i, pred, axis):
@@ -210,6 +216,16 @@ def _write_row(arr, row, i, pred, axis):
     old = jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=axis)
     new = jnp.where(pred, jnp.expand_dims(row, axis).astype(arr.dtype), old)
     return jax.lax.dynamic_update_slice_in_dim(arr, new, i, axis=axis)
+
+
+def _write_row_b(arr, row, i, pred, axis):
+    """Per-sample _write_row: arr (B, ...), row (B, ...), i/pred (B,);
+    ``axis`` indexes the PER-SAMPLE array (after stripping the batch dim).
+    Each batch slot writes at its own position — the basis of continuous
+    batching (slots decode at independent sequence positions)."""
+    return jax.vmap(
+        lambda a, r, ii, pr: _write_row(a, r, ii, pr, axis=axis)
+    )(arr, row, i, pred)
 
 
 # ---------------------------------------------------------------------------
@@ -224,34 +240,42 @@ def decode_attention(
     q,  # (B, H, Dh) un-roped query for this position
     k_new,  # (B, C) pre-RoPE key projection
     v_new,  # (B, C) value projection
-    pos,  # scalar int32 absolute position
+    pos,  # int32 absolute position: scalar or per-sample (B,)
 ):
-    """Append token ``pos`` to the (single-layer) cache and compute attention
-    over positions 0..pos. Returns (cache_l, out (B, H, Dh))."""
+    """Append each sample's token at its own ``pos`` to the (single-layer)
+    cache and compute attention over positions 0..pos. Returns
+    (cache_l, out (B, H, Dh)). Per-sample positions make every batch slot an
+    independent sequence (continuous batching); the reference is hard-wired
+    to batch size 1 (modeling_llama.py:1525)."""
     B = q.shape[0]
     S, Tc = dcfg.sink, dcfg.cache_tokens
     Hkv, Dh = dcfg.n_kv_heads, dcfg.d_head
     G = q.shape[1] // Hkv
 
-    pos = jnp.asarray(pos, jnp.int32)
-    cos, sin = rope_cos_sin(pos[None], mcfg)  # (1, Dh)
-    in_sink = pos < S
-    p = jnp.clip(pos - S, 0, Tc - 1)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    cos, sin = rope_cos_sin(pos, mcfg)  # (B, Dh)
+    in_sink = pos < S  # (B,)
+    p = jnp.clip(pos - S, 0, Tc - 1)  # (B,)
+
+    def bmask(x, ndim):
+        return x.reshape((B,) + (1,) * (ndim - 1))
 
     # ---- append K ----
     k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
-    k_roped = k_h * cos + rotate_half(k_h) * sin
+    k_roped = k_h * cos[:, None] + rotate_half(k_h) * sin[:, None]
     codes_k, k_words = quantize_k(k_new, lq, dcfg)
 
     k_sink = cache_l.k_sink
     v_sink = cache_l.v_sink
     if S > 0:
-        k_sink = _write_row(k_sink, k_roped, pos, in_sink, axis=2)
+        k_sink = _write_row_b(k_sink, k_roped, pos, in_sink, axis=1)
 
-    k_planes = set_token_codes(cache_l.k_planes, codes_k, p)
+    k_planes = jax.vmap(set_token_codes)(cache_l.k_planes, codes_k, p)
     # predicated: restore the old word column when the token went to the sink
     if S > 0:
-        k_planes = jnp.where(in_sink, cache_l.k_planes, k_planes)
+        k_planes = jnp.where(
+            bmask(in_sink, k_planes.ndim), cache_l.k_planes, k_planes
+        )
     if dcfg.include_sparse:
         kv_out = _write_out_slots(cache_l.kv_out, k_words, p, ~in_sink, 0)
     else:
@@ -259,7 +283,7 @@ def decode_attention(
 
     # ---- scores ----
     q_h = q.reshape(B, Hkv, G, Dh).astype(jnp.float32)
-    q_rot = q_h * cos + rotate_half(q_h) * sin
+    q_rot = q_h * cos[:, None, None] + rotate_half(q_h) * sin[:, None, None]
     inv = 1.0 / (Dh**0.5)
 
     cache_tmp = KVCache(
@@ -289,23 +313,25 @@ def decode_attention(
         scores = jnp.concatenate([sink_sc, dense], axis=-1)  # (B,Hkv,G,S+Tc)
 
     idx = jnp.arange(S + Tc, dtype=jnp.int32)
-    valid = idx <= pos
+    valid = idx[None, :] <= pos[:, None]  # (B, S+Tc)
     if mcfg.sliding_window is not None:
         # Mistral-style local attention over the cached positions
-        valid &= idx > pos - mcfg.sliding_window
-    scores = jnp.where(valid, scores, -jnp.inf)
+        valid &= idx[None, :] > (pos[:, None] - mcfg.sliding_window)
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
 
     # ---- append V ----
     codes_v, v_words, v_sc, v_off = quantize_v(v_new, lq, dcfg)
     v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     if S > 0:
-        v_sink = _write_row(v_sink, v_h, pos, in_sink, axis=2)
-    v_planes = set_token_codes(cache_l.v_planes, codes_v, p)
+        v_sink = _write_row_b(v_sink, v_h, pos, in_sink, axis=1)
+    v_planes = jax.vmap(set_token_codes)(cache_l.v_planes, codes_v, p)
     if S > 0:
-        v_planes = jnp.where(in_sink, cache_l.v_planes, v_planes)
-    v_scale = _write_row(cache_l.v_scale, v_sc, p, ~in_sink, axis=1)
-    v_offset = _write_row(cache_l.v_offset, v_off, p, ~in_sink, axis=1)
+        v_planes = jnp.where(
+            bmask(in_sink, v_planes.ndim), cache_l.v_planes, v_planes
+        )
+    v_scale = _write_row_b(cache_l.v_scale, v_sc, p, ~in_sink, axis=0)
+    v_offset = _write_row_b(cache_l.v_offset, v_off, p, ~in_sink, axis=0)
     if dcfg.include_sparse:
         kv_out = _write_out_slots(kv_out, v_words, p, ~in_sink,
                                   dcfg.slots_per_kind)
@@ -314,7 +340,7 @@ def decode_attention(
         k_planes=k_planes, v_planes=v_planes, kv_out=kv_out,
         v_scale=v_scale, v_offset=v_offset,
         k_sink=k_sink, v_sink=v_sink,
-        length=jnp.full_like(cache_l.length, pos + 1),
+        length=pos + 1,
     )
 
     # ---- weighted values ----
