@@ -66,10 +66,14 @@ class Server:
         self._rng = np.random.default_rng(seed)
         self._last_logits = np.zeros((n_slots, cfg.vocab_size), np.float32)
 
+        # the batched cache is donated: without donation every step pays a
+        # full cache copy across the jit boundary (hundreds of MB at long
+        # context)
         self._step = jax.jit(
             lambda p, d, c, tok, pos: engine.decode_step(
                 p, cfg, dcfg, d, c, tok, pos
-            )
+            ),
+            donate_argnums=(2,),
         )
         self._prefill = jax.jit(
             lambda p, d, c, t: engine.prefill(p, cfg, dcfg, d, c, t)
