@@ -114,10 +114,17 @@ def decode_step(
     x = jnp.take(params["embed"], token, axis=0)  # (B, D)
     arrays, length = _split_cache(cache)
 
-    def layer_fn(x, scanned):
+    # The cache rides in the scan CARRY with per-layer dynamic slicing
+    # (NOT as scan xs/ys): ys would be freshly allocated buffers, so every
+    # step would rewrite the entire multi-layer cache; carried buffers are
+    # aliased in place by XLA and only the appended rows are written.
+    def layer_fn(carry, scanned):
+        x, arrs, new_len = carry
         lp = scanned["p"]
-        arr_l = scanned["c"]
         lq = scanned["q"]
+        li = scanned["i"]
+        arr_l = {k: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+                 for k, v in arrs.items()}
         cache_l = _merge_cache(arr_l, length)
 
         h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
@@ -140,18 +147,27 @@ def decode_step(
         else:
             x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
 
-        new_arrays, new_len = _split_cache(cache_l)
-        return x, (new_arrays, new_len)
+        new_arr_l, new_len = _split_cache(cache_l)
+        arrs = {
+            k: jax.lax.dynamic_update_index_in_dim(arrs[k], new_arr_l[k], li, 0)
+            for k in arrs
+        }
+        return (x, arrs, new_len), None
 
-    scanned = {"p": params["layers"], "c": arrays, "q": dq}
-    x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
+    scanned = {
+        "p": params["layers"], "q": dq,
+        "i": jnp.arange(cfg.n_layers, dtype=jnp.int32),
+    }
+    (x, new_arrays, new_len), _ = jax.lax.scan(
+        layer_fn, (x, arrays, length), scanned
+    )
 
     x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
     logits = (x @ head).astype(jnp.float32)
-    return _merge_cache(new_arrays, new_lens[0]), logits
+    return _merge_cache(new_arrays, new_len), logits
 
 
 # ---------------------------------------------------------------------------
