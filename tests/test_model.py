@@ -187,3 +187,33 @@ class TestChunkedAttention:
         np.testing.assert_allclose(
             np.asarray(chunked), np.asarray(full), atol=1e-4, rtol=1e-4
         )
+
+
+class TestPercentileVMode:
+    def test_percentile_mode_runs_and_differs_from_topk(self):
+        """Reference simulated-eval V semantics (get_outliers_dynamic,
+        simquant_module_quantizer.py:80): percentile-threshold dynamic
+        outliers instead of the deployed topk rule."""
+        import dataclasses
+        from kvquant_tpu.models.llama import simquant_v
+        from kvquant_tpu.quant.calibration import fit_quantizers
+
+        cfg = TINY_LLAMA
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, cfg.vocab_size)
+        k_acts, v_acts = collect_kv_activations(params, cfg, [tokens])
+        qs = fit_quantizers(k_acts, v_acts, bits=3, cap_outliers=True,
+                            first_few_fp16=5, sample_seqlen=32, kmeans_iters=5)
+        sq_topk = simquant_from_quantizers(qs, v_mode="topk",
+                                           n_kv_heads=cfg.n_kv_heads)
+        sq_pct = simquant_from_quantizers(qs, v_mode="percentile",
+                                          n_kv_heads=cfg.n_kv_heads)
+        v = v_acts[0][None]
+        arrs = jax.tree.map(lambda a: a[0], sq_topk.arrays)
+        out_t = simquant_v(v, arrs, sq_topk.config)
+        out_p = simquant_v(v, arrs, sq_pct.config)
+        assert bool(jnp.isfinite(out_t).all()) and bool(jnp.isfinite(out_p).all())
+        # (at tiny channel counts both rules can select the same elements,
+        # so value inequality is not asserted)
+        ppl = perplexity(params, cfg, tokens, simquant=sq_pct)
+        assert np.isfinite(ppl)
