@@ -12,3 +12,19 @@ Reference behavior: SqueezeAILab/KVQuant (see SURVEY.md for file:line map).
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level conveniences: heavy submodules import on first attribute
+# access so `import kvquant_tpu` stays cheap.
+_SUBMODULES = (
+    "cache", "engine", "serve", "cache_io", "data", "baseline_fp16",
+    "models", "ops", "quant", "parallel", "evals", "fisher", "utils",
+    "native",
+)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
