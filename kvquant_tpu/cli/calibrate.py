@@ -27,9 +27,10 @@ def main(argv=None):
                     help=".npz from cli.fisher (sample-weights the k-means)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--kmeans-iters", type=int, default=50)
-    ap.add_argument("--mode", default="nuq", choices=["nuq", "nf"],
+    ap.add_argument("--mode", default="nuq", choices=["nuq", "nf", "uniform"],
                     help="nuq: Fisher-weighted k-means codebooks; nf: "
-                         "NormalFloat signposts (reference --nf)")
+                         "NormalFloat signposts (reference --nf); uniform: "
+                         "evenly spaced integer grid (reference quant_fn_zp)")
     args = ap.parse_args(argv)
 
     params, cfg = common.load_model(args)

@@ -80,8 +80,11 @@ def fit_channel_quantizer(
     qnorm: bool = False,
     seed: int = 0,
     kmeans_iters: int = 50,
-    mode: str = "nuq",  # "nuq" (Fisher-weighted k-means) or "nf"
-                        # (NormalFloat signposts, reference quant_fn_nf)
+    mode: str = "nuq",  # "nuq" (Fisher-weighted k-means), "nf"
+                        # (NormalFloat signposts, reference quant_fn_nf), or
+                        # "uniform" (evenly spaced grid == the reference's
+                        # integer zero-point quant_fn_zp up to offset
+                        # rounding)
 ):
     """Returns dict(upper (C,|N,), lower, lut (2**bits,), normscale, normoffset)."""
     acts = jnp.asarray(acts, jnp.float32)
@@ -129,6 +132,8 @@ def fit_channel_quantizer(
 
     if mode == "nf":
         lut = jnp.asarray(nf_signposts(bits))
+    elif mode == "uniform":
+        lut = jnp.linspace(-1.0, 1.0, 2 ** bits)
     else:
         lut, _ = weighted_kmeans_1d(
             xn.reshape(-1), w.reshape(-1), k=2**bits, iters=kmeans_iters,

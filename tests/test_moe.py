@@ -84,3 +84,28 @@ class TestMoEQuantPipeline:
             engine.GenerateConfig(max_new_tokens=4),
         )
         assert out.shape == (1, 4)
+
+
+class TestMoEQuantizedPrefill:
+    def test_prefill_quantized_moe(self, setup):
+        cfg, params, tokens = setup
+        import dataclasses
+        from kvquant_tpu.quant.calibration import collect_kv_activations, fit_quantizers
+        cal = jax.random.randint(jax.random.PRNGKey(9), (1, 48), 0, cfg.vocab_size)
+        k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
+        qs = fit_quantizers(k_acts, v_acts, bits=4, cap_outliers=True,
+                            first_few_fp16=5, sample_seqlen=48, kmeans_iters=5)
+        dcfg = DeployConfig.create(bits=4, n_kv_heads=cfg.n_kv_heads,
+                                   d_head=cfg.d_head, max_len=261 + 5, sink=5)
+        dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+        from kvquant_tpu.cache import create_cache
+        cache = create_cache(dcfg, cfg.n_layers, 1)
+        cache, logits = engine.prefill_quantized(
+            params, cfg, dcfg, dq, cache, tokens[:1], chunk=128
+        )
+        assert bool(jnp.isfinite(logits).all())
+        cache, nxt = engine.decode_step(
+            params, cfg, dcfg, dq, cache,
+            jnp.argmax(logits, -1).astype(jnp.int32), jnp.int32(tokens.shape[1]),
+        )
+        assert bool(jnp.isfinite(nxt).all())
