@@ -46,6 +46,7 @@ def main():
     kernel = os.environ.get("BENCH_KERNEL", "pallas")
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
     with_fp16 = os.environ.get("BENCH_FP16", "1") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", 1))
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -92,7 +93,7 @@ def main():
     # keeps the bench in the KV-bound regime at long context without paying
     # a full-prompt prefill per run.
     def synth_cache(key):
-        c = create_cache(dcfg, cfg.n_layers, 1)
+        c = create_cache(dcfg, cfg.n_layers, batch)
         ks = jax.random.split(key, 8)
         i32max = (1 << 31) - 1
         def ri(a):
@@ -130,9 +131,9 @@ def main():
         )
         return outs
 
-    tok0 = jnp.zeros((1,), jnp.int32)
-    q_tps = timed(q_decode_loop, params, dq, qcache, tok0)
-    log(f"quant decode {q_tps:.2f} tok/s")
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    q_tps = timed(q_decode_loop, params, dq, qcache, tok0) * batch
+    log(f"quant decode {q_tps:.2f} tok/s aggregate (batch {batch})")
 
     # fp16 baseline (skippable: at million-token contexts the fp16 cache
     # no longer fits in HBM — that is the point of this framework)
@@ -144,7 +145,7 @@ def main():
             "vs_baseline": 0.0,
         }))
         return
-    fcache = baseline_fp16.create_fp16_cache(cfg, ctx + steps + 5, 1)
+    fcache = baseline_fp16.create_fp16_cache(cfg, ctx + steps + 5, batch)
     fcache = dataclasses.replace(
         fcache,
         k=(jax.random.normal(jax.random.PRNGKey(3), fcache.k.shape, jnp.float32) * 0.1).astype(fcache.k.dtype),
@@ -163,11 +164,12 @@ def main():
         )
         return outs
 
-    f_tps = timed(f_decode_loop, params, fcache, tok0)
-    log(f"fp16 decode {f_tps:.2f} tok/s")
+    f_tps = timed(f_decode_loop, params, fcache, tok0) * batch
+    log(f"fp16 decode {f_tps:.2f} tok/s aggregate")
 
     print(json.dumps({
-        "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}",
+        "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}"
+                  + (f"_b{batch}" if batch > 1 else ""),
         "value": round(q_tps, 3),
         "unit": "tok/s",
         "vs_baseline": round(q_tps / f_tps, 4),
