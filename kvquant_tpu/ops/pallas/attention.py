@@ -8,11 +8,12 @@ TPU-native equivalents of the reference CUDA kernels
 
 Design (vs the CUDA formulation):
   - the packed cache never leaves HBM undequantized: each grid step DMAs a
-    (D, bits, BT/32) block of int32 bit-planes into VMEM (the compressed
+    (bits, BT/32, D) block of int32 bit-planes into VMEM (the compressed
     bytes are the only HBM traffic for the cache), unpacks on the VPU with
-    shift/mask arithmetic, dequantizes via a 2^bits select chain (a gather
-    would serialize), applies RoPE analytically from the block's absolute
-    positions, and contracts on the MXU.
+    shift/mask arithmetic, dequantizes via a mux tree on the bit masks (a
+    gather would serialize), applies RoPE analytically from the block's
+    absolute positions, and contracts on the MXU in bf16 with fp32
+    accumulation.
   - atomicAdd accumulation (CUDA) becomes sequential grid accumulation into
     the output block (PV kernel revisits its (G, D) output for every token
     block of one head).
@@ -21,9 +22,9 @@ Design (vs the CUDA formulation):
     scale folds into the probability tile before the MXU dot and offset
     contributes sum_t p[t]*offset[t] to every output dim.
 
-Outlier (dense-and-sparse) correction and attention sinks are applied
-outside by the caller (ops/deployed.py) — the same split as the reference's
-separate SPMV kernel launch.
+Sparse outliers are applied IN-kernel from the merged encoded word array
+(the reference launches a separate SPMV kernel); attention sinks are the
+caller's concern (ops/deployed.py).
 """
 
 from __future__ import annotations
