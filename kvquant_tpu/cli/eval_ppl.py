@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--v-mode", default="topk",
                     choices=["topk", "percentile"])
     ap.add_argument("--max-windows", type=int, default=8)
+    ap.add_argument("--deployed", action="store_true",
+                    help="also run the real packed-cache decode ppl "
+                         "(the reference's --check oracle)")
+    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
     args = ap.parse_args(argv)
 
     params, cfg = common.load_model(args)
@@ -44,6 +48,20 @@ def main(argv=None):
     ppl = perplexity(params, cfg, jnp.asarray(test), simquant=sq)
     tag = "quantized" if sq else "fp16"
     print(f"{tag} ppl over {test.shape[0]}x{test.shape[1]} tokens: {ppl:.4f}")
+
+    if args.deployed and args.quantizers:
+        from .. import engine
+        from ..cache import DeployConfig, deployed_from_quantizers
+
+        qs = load_quantizers(args.quantizers)
+        dcfg = DeployConfig.create(
+            bits=qs.bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+            max_len=test.shape[1] + 32, sink=qs.first_few_fp16,
+            kernel=args.kernel,
+        )
+        dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+        dep = engine.deployed_ppl(params, cfg, dcfg, dq, jnp.asarray(test[:1]))
+        print(f"deployed ppl (first window, kernel={args.kernel}): {dep:.4f}")
     return ppl
 
 

@@ -187,3 +187,17 @@ class TestQuantizedPrefill:
             params, cfg, dcfg, dq, cache, tok, jnp.int32(tokens.shape[1])
         )
         assert bool(jnp.isfinite(nxt).all())
+
+
+class TestGenerateQuantizedPrefillMode:
+    def test_generate_with_quantized_prefill(self, setup):
+        import dataclasses as dc
+        cfg, params, tokens, dcfg, dq, sq = setup
+        dcfg = dc.replace(dcfg, max_len=261 + dcfg.sink)
+        out, cache = engine.generate(
+            params, cfg, dcfg, dq, tokens[:, :20],
+            engine.GenerateConfig(max_new_tokens=4),
+            prefill_mode="quantized",
+        )
+        assert out.shape == (1, 4)
+        assert int(cache.length[0]) == 24
