@@ -38,7 +38,11 @@ def add_quant_args(ap: argparse.ArgumentParser):
     ap.add_argument("--include-sparse", action="store_true", default=True)
     ap.add_argument("--no-sparse", dest="include_sparse", action="store_false")
     ap.add_argument("--sparsity-threshold", type=float, default=0.99,
-                    help="dense fraction, e.g. 0.99 => 1%% outliers")
+                    help="dense fraction for calibration thresholds and the "
+                         "V range exclusion (e.g. 0.99 => 1%% beyond "
+                         "threshold). The STORED outlier budget is the fixed "
+                         "per-(token, kv-head) cap_per_side of DeployConfig, "
+                         "not this flag")
     ap.add_argument("--first-few-fp16", type=int, default=5,
                     help="attention-sink tokens kept exact")
     ap.add_argument("--cap-outliers", action="store_true", default=True)

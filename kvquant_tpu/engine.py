@@ -324,6 +324,13 @@ def prefill_quantized(
 
     n_pack = T0 - S
     n_chunks = -(-n_pack // chunk)
+    # the padded prompt (incl. chunk-alignment pad tokens) must fit the
+    # packed cache: block_attention's dynamic_update_slice would clamp the
+    # start index and silently clobber the cache tail otherwise
+    assert n_chunks * chunk <= dcfg.cache_tokens, (
+        f"prompt needs {n_chunks * chunk} packed tokens "
+        f"(chunk-aligned) but cache holds {dcfg.cache_tokens}"
+    )
     pad = n_chunks * chunk - n_pack
     toks = jnp.pad(tokens, ((0, 0), (0, pad)))
 

@@ -81,9 +81,13 @@ def init_params(key, cfg: MoEConfig, dtype=jnp.bfloat16):
 def moe_ffn(h, lp, cfg: MoEConfig):
     """Top-k gated expert MLP, computed densely and mask-combined."""
     logits = (h @ lp["w_router"]).astype(jnp.float32)  # (B, T, E)
-    top_vals, _ = jax.lax.top_k(logits, cfg.top_k)
-    thresh = top_vals[..., -1:]
-    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    # strict top-k mask built from the top_k indices: a >=threshold compare
+    # would route through MORE than top_k experts on exact ties
+    _, top_idx = jax.lax.top_k(logits, cfg.top_k)
+    sel = jnp.any(
+        top_idx[..., None] == jnp.arange(logits.shape[-1]), axis=-2
+    )  # (B, T, E) bool, exactly top_k True per token
+    masked = jnp.where(sel, logits, -jnp.inf)
     w = jax.nn.softmax(masked, axis=-1).astype(h.dtype)  # (B, T, E)
 
     gate = jnp.einsum("btd,edf->btef", h, lp["w_gate"])

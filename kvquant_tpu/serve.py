@@ -85,6 +85,12 @@ class Server:
         self.out[req.rid] = Completion(req.rid)
 
     def _write_slot(self, b: int, one_cache: KVCache):
+        # INVARIANT: this must overwrite EVERY KVCache field for slot b.
+        # Retired / never-admitted slots keep decoding (step() runs the whole
+        # batch through the jitted decode) and append junk at their frozen
+        # position; correctness of re-admission depends on this jax.tree.map
+        # covering all fields — it iterates the full pytree, so a newly added
+        # KVCache field is automatically included.
         def put(full, one):
             if full.ndim == 1:  # length (B,)
                 return full.at[b].set(one[0])
