@@ -39,11 +39,14 @@ def main():
     )
     from kvquant_tpu.quant.nuq import nf_signposts
 
-    ctx = int(os.environ.get("BENCH_CTX", 2048))
+    # Headline = LONG-context decode (the reference's deployment claim is
+    # long-context decode speed/size vs an fp16 cache; at short context the
+    # step is weight-bandwidth-bound and the KV path barely matters).
+    ctx = int(os.environ.get("BENCH_CTX", 32768))
     steps = int(os.environ.get("BENCH_STEPS", 16))
     bits = int(os.environ.get("BENCH_BITS", 3))
     n_layers = int(os.environ.get("BENCH_LAYERS", 8))
-    kernel = os.environ.get("BENCH_KERNEL", "pallas")
+    kernel = os.environ.get("BENCH_KERNEL", "flash")
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
     with_fp16 = os.environ.get("BENCH_FP16", "1") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 1))

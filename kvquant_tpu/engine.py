@@ -107,6 +107,9 @@ def decode_step(
     """
     from .models.moe import MoEConfig, split_qkv, moe_ffn
 
+    if dcfg.kernel == "flash":
+        return _decode_step_flash(params, cfg, dcfg, dq, cache, token, pos)
+
     is_moe = isinstance(cfg, MoEConfig)
     B = token.shape[0]
     H, Dh = cfg.n_heads, cfg.d_head
@@ -168,6 +171,88 @@ def decode_step(
         head = params["embed"].T
     logits = (x @ head).astype(jnp.float32)
     return _merge_cache(new_arrays, new_len), logits
+
+
+def _decode_step_flash(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    cache: KVCache,
+    token,  # (B,) int32
+    pos,  # scalar or (B,) int32
+):
+    """decode_step for dcfg.kernel == "flash": single-pass flash-decode
+    Pallas kernel per layer over the FULL (L, ...) cache arrays.
+
+    The layer scan never slices the packed cache (the kernel's scalar-
+    prefetched index maps select layer ``li`` directly) and the append is a
+    set of row-level writes (ops.deployed.append_token_flash) — the whole
+    step's HBM traffic is the compressed cache bytes plus the weights.
+    """
+    from .models.moe import MoEConfig, split_qkv, moe_ffn
+    from .ops.pallas.flash_decode import flash_decode
+
+    is_moe = isinstance(cfg, MoEConfig)
+    B = token.shape[0]
+    H, Dh = cfg.n_heads, cfg.d_head
+    Hkv = cfg.n_kv_heads
+    G = H // Hkv
+
+    posb = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    cos, sin = llama.rope_cos_sin(posb, cfg)  # (B, Dh)
+
+    x = jnp.take(params["embed"], token, axis=0)  # (B, D)
+    arrays, _length = _split_cache(cache)
+
+    def layer_fn(carry, scanned):
+        x, arrs = carry
+        lp, lq, li = scanned["p"], scanned["q"], scanned["i"]
+
+        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        if is_moe:
+            q, k, v = split_qkv(h @ lp["w_qkv"], cfg)
+            q = q.reshape(B, H, Dh)
+        else:
+            q = (h @ lp["wq"]).reshape(B, H, Dh)
+            k = h @ lp["wk"]
+            v = h @ lp["wv"]
+
+        arrs = deployed.append_token_flash(
+            arrs, lq, dcfg, cfg, k, v, posb, li
+        )
+
+        q_h = q.reshape(B, Hkv, G, Dh).astype(jnp.float32)
+        q_rot = q_h * cos[:, None, None] + (
+            llama.rotate_half(q_h) * sin[:, None, None]
+        )
+        attn = flash_decode(
+            q_rot, arrs["k_planes"], arrs["v_planes"], arrs["kv_out"],
+            dq.k_range, dq.k_offset, arrs["v_scale"], arrs["v_offset"],
+            arrs["k_sink"], arrs["v_sink"], dq.k_lut_dec, dq.v_lut_dec,
+            li, posb, dcfg, cfg,
+        )  # (B, Hkv, G, Dh)
+
+        x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
+        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        if is_moe:
+            x = x + moe_ffn(h[:, None], lp, cfg)[:, 0].astype(x.dtype)
+        else:
+            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return (x, arrs), None
+
+    scanned = {
+        "p": params["layers"], "q": dq,
+        "i": jnp.arange(cfg.n_layers, dtype=jnp.int32),
+    }
+    (x, new_arrays), _ = jax.lax.scan(layer_fn, (x, arrays), scanned)
+
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+    return _merge_cache(new_arrays, posb + 1), logits
 
 
 # ---------------------------------------------------------------------------

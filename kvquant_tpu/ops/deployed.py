@@ -255,10 +255,8 @@ def decode_attention(
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
     cos, sin = rope_cos_sin(pos, mcfg)  # (B, Dh)
     in_sink = pos < S  # (B,)
+    not_sink = ~in_sink
     p = jnp.clip(pos - S, 0, Tc - 1)  # (B,)
-
-    def bmask(x, ndim):
-        return x.reshape((B,) + (1,) * (ndim - 1))
 
     # ---- append K ----
     k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
@@ -270,14 +268,12 @@ def decode_attention(
     if S > 0:
         k_sink = _write_row_b(k_sink, k_roped, pos, in_sink, axis=1)
 
-    k_planes = jax.vmap(set_token_codes)(cache_l.k_planes, codes_k, p)
-    # predicated: restore the old word column when the token went to the sink
-    if S > 0:
-        k_planes = jnp.where(
-            bmask(in_sink, k_planes.ndim), cache_l.k_planes, k_planes
-        )
+    # row-level predication: tokens that went to the sink leave the packed
+    # cache untouched (a full-array jnp.where here would copy the whole
+    # packed cache every step)
+    k_planes = jax.vmap(set_token_codes)(cache_l.k_planes, codes_k, p, not_sink)
     if dcfg.include_sparse:
-        kv_out = _write_out_slots(cache_l.kv_out, k_words, p, ~in_sink, 0)
+        kv_out = _write_out_slots(cache_l.kv_out, k_words, p, not_sink, 0)
     else:
         kv_out = cache_l.kv_out
 
@@ -325,15 +321,11 @@ def decode_attention(
     v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     if S > 0:
         v_sink = _write_row_b(v_sink, v_h, pos, in_sink, axis=1)
-    v_planes = jax.vmap(set_token_codes)(cache_l.v_planes, codes_v, p)
-    if S > 0:
-        v_planes = jnp.where(
-            bmask(in_sink, v_planes.ndim), cache_l.v_planes, v_planes
-        )
-    v_scale = _write_row_b(cache_l.v_scale, v_sc, p, ~in_sink, axis=0)
-    v_offset = _write_row_b(cache_l.v_offset, v_off, p, ~in_sink, axis=0)
+    v_planes = jax.vmap(set_token_codes)(cache_l.v_planes, codes_v, p, not_sink)
+    v_scale = _write_row_b(cache_l.v_scale, v_sc, p, not_sink, axis=0)
+    v_offset = _write_row_b(cache_l.v_offset, v_off, p, not_sink, axis=0)
     if dcfg.include_sparse:
-        kv_out = _write_out_slots(kv_out, v_words, p, ~in_sink,
+        kv_out = _write_out_slots(kv_out, v_words, p, not_sink,
                                   dcfg.slots_per_kind)
 
     new_cache = KVCache(
@@ -359,6 +351,115 @@ def decode_attention(
     if S > 0:
         out = out + jnp.einsum("bhgs,bhsd->bhgd", probs[..., :S], v_sink)
     return new_cache, out.reshape(B, Hkv * G, Dh)
+
+
+# ---------------------------------------------------------------------------
+# flash-decode append: row-level writes into the FULL (L, ...) cache arrays
+# ---------------------------------------------------------------------------
+
+def append_token_flash(
+    arrs: dict,  # full cache arrays, each (L, B, ...)
+    lq: DeployedQuant,  # layer-sliced quantizer (this layer's arrays)
+    dcfg: DeployConfig,
+    mcfg: ModelConfig,
+    k_new,  # (B, C) pre-RoPE key projection
+    v_new,  # (B, C) value projection
+    pos,  # (B,) int32 absolute positions
+    li,  # traced scalar layer index
+) -> dict:
+    """Append one token at layer ``li`` directly into the stacked
+    (L, B, ...) cache arrays. Unlike decode_attention's per-layer path, no
+    layer cache is ever sliced out: every write is a row-level
+    read-modify-write at (li, b, ..., p_b), predicated on the token not
+    belonging to the sink prefix."""
+    from .packing import set_token_codes_at_layer
+
+    B = k_new.shape[0]
+    S, Tc = dcfg.sink, dcfg.cache_tokens
+    Hkv, Dh = dcfg.n_kv_heads, dcfg.d_head
+
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    in_sink = pos < S
+    not_sink = ~in_sink
+    p = jnp.clip(pos - S, 0, Tc - 1)
+
+    codes_k, k_words = quantize_k(k_new, lq, dcfg)  # (B,Hkv,D)
+    codes_v, v_words, v_sc, v_off = quantize_v(v_new, lq, dcfg)
+
+    def put_planes(planes, codes):
+        return jax.vmap(
+            lambda pl_b, c_b, p_b, pr_b: set_token_codes_at_layer(
+                pl_b, c_b, li, p_b, pr_b
+            ),
+            in_axes=(1, 0, 0, 0), out_axes=1,
+        )(planes, codes, p, not_sink)
+
+    out = dict(arrs)
+    out["k_planes"] = put_planes(arrs["k_planes"], codes_k)
+    out["v_planes"] = put_planes(arrs["v_planes"], codes_v)
+
+    if dcfg.include_sparse:
+        spk = dcfg.slots_per_kind
+
+        def put_out(arr, words, row0):
+            n = words.shape[-1]
+
+            def one(a_b, w_b, p_b, pr_b):  # a_b (L, Hkv, J, Tc)
+                old = jax.lax.dynamic_slice(
+                    a_b, (li, 0, row0, p_b), (1, Hkv, n, 1)
+                )
+                new = jnp.where(
+                    pr_b, w_b[None, :, :, None].astype(a_b.dtype), old
+                )
+                return jax.lax.dynamic_update_slice(
+                    a_b, new, (li, 0, row0, p_b)
+                )
+
+            return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
+                arr, words, p, not_sink
+            )
+
+        kv = put_out(arrs["kv_out"], k_words, 0)
+        out["kv_out"] = put_out(kv, v_words, spk)
+
+    def put_scalar(arr, val):
+        def one(a_b, s_b, p_b, pr_b):  # a_b (L, Tc)
+            old = jax.lax.dynamic_slice(a_b, (li, p_b), (1, 1))
+            new = jnp.where(pr_b, s_b.reshape(1, 1).astype(a_b.dtype), old)
+            return jax.lax.dynamic_update_slice(a_b, new, (li, p_b))
+
+        return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
+            arr, val, p, not_sink
+        )
+
+    out["v_scale"] = put_scalar(arrs["v_scale"], v_sc)
+    out["v_offset"] = put_scalar(arrs["v_offset"], v_off)
+
+    if S > 0:
+        cos, sin = rope_cos_sin(pos, mcfg)  # (B, Dh)
+        k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
+        k_roped = k_h * cos[:, None] + rotate_half(k_h) * sin[:, None]
+        v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
+        ps = jnp.clip(pos, 0, S - 1)
+
+        def put_sink(arr, rows):
+            def one(a_b, r_b, q_b, pr_b):  # a_b (L, Hkv, S, D)
+                old = jax.lax.dynamic_slice(
+                    a_b, (li, 0, q_b, 0), (1, Hkv, 1, Dh)
+                )
+                new = jnp.where(pr_b, r_b[None, :, None, :], old)
+                return jax.lax.dynamic_update_slice(
+                    a_b, new, (li, 0, q_b, 0)
+                )
+
+            return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
+                arr, rows, ps, in_sink
+            )
+
+        out["k_sink"] = put_sink(arrs["k_sink"], k_roped)
+        out["v_sink"] = put_sink(arrs["v_sink"], v_h)
+
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -73,27 +73,60 @@ def unpack_codes(planes: jax.Array, bits: int) -> jax.Array:
     return codes.reshape(*lead, 32 * TW, D).astype(jnp.int32)
 
 
-def set_token_codes(planes: jax.Array, codes: jax.Array, pos) -> jax.Array:
+def set_token_codes(planes: jax.Array, codes: jax.Array, pos,
+                    pred=None) -> jax.Array:
     """Write one token's codes at packed position ``pos``.
 
     planes: (..., bits, TW, D) int32; codes: (..., D) int32; pos: scalar.
     Clears then sets the token's bit in its word row — a read-modify-write
     of a contiguous (..., bits, 1, D) slice that XLA keeps in place when the
     cache buffer is donated.
+
+    ``pred`` (scalar bool): when False the old row is written back — the
+    predication happens at the ROW level. (A caller-side
+    ``jnp.where(pred, old_planes, new_planes)`` would materialize a full
+    copy of the packed cache every step — measured ~100 MB/step of phantom
+    HBM traffic on an 8-layer 32K-context model.)
     """
     bits = planes.shape[-3]
     w, j = token_word_bit(pos)
     j = jnp.asarray(j, jnp.uint32)
 
-    row = jax.lax.dynamic_slice_in_dim(planes, w, 1, axis=-2)  # (...,bits,1,D)
-    row = row.astype(jnp.uint32)
+    old = jax.lax.dynamic_slice_in_dim(planes, w, 1, axis=-2)  # (...,bits,1,D)
+    row = old.astype(jnp.uint32)
 
     shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(bits, 1, 1)
     bitvals = ((codes.astype(jnp.uint32)[..., None, None, :] >> shifts) & 1) << j
     row = (row & ~(jnp.uint32(1) << j)) | bitvals
-    return jax.lax.dynamic_update_slice_in_dim(
-        planes, row.astype(jnp.int32), w, axis=-2
-    )
+    new = row.astype(jnp.int32)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice_in_dim(planes, new, w, axis=-2)
+
+
+def set_token_codes_at_layer(planes, codes, li, pos, pred=None):
+    """Write one token's codes into layer ``li`` of the FULL stacked planes.
+
+    planes: (L, H, bits, TW, D) int32 (single sample); codes: (H, D) int32;
+    li/pos: traced scalars; pred: scalar bool (False => no-op row write).
+    The read-modify-write touches one (1, H, bits, 1, D) word row — the
+    flash-decode path uses this so the caller never has to slice a layer's
+    packed cache out of the (L, ...) arrays (a ~6 MB copy per layer/step).
+    """
+    L, Hh, bits, TW, D = planes.shape
+    w, j = token_word_bit(pos)
+    j = jnp.asarray(j, jnp.uint32)
+    old = jax.lax.dynamic_slice(planes, (li, 0, 0, w, 0), (1, Hh, bits, 1, D))
+    row = old.astype(jnp.uint32)
+    shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(1, 1, bits, 1, 1)
+    bitvals = (
+        (codes.astype(jnp.uint32)[None, :, None, None, :] >> shifts) & 1
+    ) << j
+    row = (row & ~(jnp.uint32(1) << j)) | bitvals
+    new = row.astype(planes.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice(planes, new, (li, 0, 0, w, 0))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,324 @@
+"""Single-pass flash-decode Pallas kernel over the packed bit-plane KV cache.
+
+One ``pallas_call`` per (layer, step) computes the ENTIRE attention read
+path: K unpack + dequant + sparse outliers + RoPE + QK^T, online softmax,
+V unpack + dequant + outliers, and the score.V contraction — the fusion of
+the reference's two fused CUDA launches plus its softmax and SPMV launches
+(quant_cuda_kernel.cu:3040-3209 QK side, :3211+ PV side, :473-521 SPMV).
+
+Why a single pass (vs ops/pallas/attention.py's qk_fused + pv_fused):
+  - the packed planes and the outlier tile stream from HBM ONCE per step
+    (the two-kernel path reads kv_out twice and round-trips the (G, Tc)
+    score tensor through XLA between the calls);
+  - online softmax keeps the running (m, l, acc) state in VMEM, so nothing
+    of O(Tc) ever materializes;
+  - the batch and head dimensions are grid dimensions of the SAME kernel
+    (grid (B, Tc/BT, Hkv)) — B > 1 shares one pipeline instead of
+    replicating grid work per sequence through jax.vmap;
+  - with the head dimension INNERMOST, the per-block RoPE cos/sin tiles and
+    the validity mask — the dominant VPU transcendental cost — are computed
+    once per token block (at h == 0, into VMEM scratch) and reused by every
+    head, instead of per (head, block);
+  - K outliers are added to the dequantized key BEFORE RoPE (RoPE is
+    linear, rope(k + M) == rope(k) + rope(M)), so the sparse application is
+    a plain one-hot accumulate — ~3 VPU ops/slot/element vs ~8 for the
+    post-RoPE cos/sin-masked form the two-kernel path uses;
+  - the attention-sink prefix (reference kcache_fp16/vcache_fp16,
+    modeling_llama.py:1464-1466) initializes the online-softmax state at
+    t == 0 in-kernel — no separate XLA matmuls and no LSE merge outside;
+  - the layer index rides in as a SCALAR PREFETCH argument used by the
+    BlockSpec index maps, so the kernel reads blocks straight out of the
+    full (L, ...) cache arrays — the caller never slices a layer's cache
+    (dynamic_index_in_dim of the packed planes copies ~6 MB/layer/step).
+
+The output accumulator lives in the out BLOCK itself (index (b, 0, 0, 0) is
+revisited consecutively for the whole (t, h) sweep of one batch element),
+so no accumulator scratch or epilogue pass is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _pick_bt, _interpret, GROUP, WPG
+
+NEG = -1e30
+
+
+def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
+    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) fp32 via mux tree.
+
+    Same reconstruction as ops/pallas/attention.py:_unpack_dequant_block but
+    taking the LUT as a list of scalars (read from an SMEM block)."""
+    shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
+    groups = []
+    for g in range(BT // GROUP):
+        masks = []
+        for b in range(bits):
+            w = pltpu.repeat(
+                words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
+            )
+            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
+        level = list(lut_vals)
+        for b in range(bits):
+            level = [
+                jnp.where(masks[b], level[2 * i + 1], level[2 * i])
+                for i in range(len(level) // 2)
+            ]
+        groups.append(level[0])
+    return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+
+
+def _outlier_m(ow, D: int, BT: int):
+    """(J, BT) encoded outlier words -> dense (BT, D) addend (pre-RoPE /
+    raw-value space). One compare + convert + fma per slot per element."""
+    J = ow.shape[0]
+    w = jnp.transpose(ow)  # (BT, J)
+    u = pltpu.bitcast(w, jnp.uint32)
+    oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
+    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+    M = jnp.zeros((BT, D), jnp.float32)
+    for j in range(J):
+        M += ov[:, j:j + 1] * (iota_d == oi[:, j:j + 1]).astype(jnp.float32)
+    return M
+
+
+def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
+                  scaling, window, sparse, spk, J, dot_bf16, nt):
+    (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
+     ksink_ref, vsink_ref, klut_ref, vlut_ref,
+     out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    h = pl.program_id(2)
+    pos = pos_ref[b]
+    half = D // 2
+    inv = 1.0 / (D ** 0.5)
+    ct = jnp.bfloat16 if dot_bf16 else jnp.float32
+
+    # ---- per-(b, t) shared state: RoPE tiles + additive validity mask ----
+    @pl.when(h == 0)
+    def _():
+        d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t * BT
+        inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
+        ang = ((S + tt).astype(jnp.float32) / scaling) * inv_freq
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        cs_ref[0] = jnp.concatenate([c, c], axis=1)
+        cs_ref[1] = jnp.concatenate([s, s], axis=1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 1) + t * BT
+        valid = idx <= pos - S
+        if window is not None:
+            valid &= (idx + S) > pos - window
+        mask_ref[...] = jnp.where(valid, 0.0, NEG)
+
+    cos = cs_ref[0]
+    sin = cs_ref[1]
+    q = q_ref[0, h]  # (G, D) fp32, already roped at the query position
+
+    # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
+    kwords = kp_ref[0, 0, 0].astype(jnp.uint32)
+    klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
+    kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
+    kd = kd * krng_ref[0, 0] + koff_ref[0, 0]  # (1, D) per-channel range
+    if sparse:
+        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT)
+    k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
+    kx = kd * cos + k_rot * sin
+
+    s_blk = jax.lax.dot_general(
+        q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv  # (G, BT)
+    s_blk = s_blk + mask_ref[0:1, :]
+
+    # ---- t == 0: initialize online-softmax state from the sink prefix ----
+    @pl.when(t == 0)
+    def _():
+        if S > 0:
+            ks = ksink_ref[0, 0, 0]  # (S, D) post-RoPE keys
+            ss = jax.lax.dot_general(
+                q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv  # (G, S)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+            svalid = sidx <= pos
+            if window is not None:
+                svalid &= sidx > pos - window
+            ss = jnp.where(svalid, ss, NEG)
+            m0 = jnp.max(ss, axis=-1, keepdims=True)  # (G, 1)
+            p0 = jnp.exp(ss - m0)
+            p0 = jnp.where(svalid, p0, 0.0)
+            l0 = jnp.sum(p0, axis=-1, keepdims=True)
+            acc0 = jax.lax.dot_general(
+                p0.astype(ct), vsink_ref[0, 0, 0].astype(ct),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, D)
+        else:
+            m0 = jnp.full((G, 1), NEG, jnp.float32)
+            l0 = jnp.zeros((G, 1), jnp.float32)
+            acc0 = jnp.zeros((G, D), jnp.float32)
+        m_ref[h] = jnp.broadcast_to(m0, (G, 128))
+        l_ref[h] = jnp.broadcast_to(l0, (G, 128))
+        out_ref[0, h] = acc0
+
+    # ---- online softmax update ----
+    m_old = m_ref[h][:, :1]  # (G, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(s_blk - m_new)  # (G, BT); masked lanes exp(NEG - m) == 0
+    l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[h] = jnp.broadcast_to(m_new, (G, 128))
+    l_ref[h] = jnp.broadcast_to(l_new, (G, 128))
+
+    # ---- V: unpack + dequant + outliers, score.V ----
+    vwords = vp_ref[0, 0, 0].astype(jnp.uint32)
+    vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
+    vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D) normalized
+    ps = p * vsc_ref[0, 0]  # fold per-token scale into the probabilities
+    pv = jax.lax.dot_general(
+        ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, D)
+    pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
+    if sparse:
+        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT)
+        pv += jax.lax.dot_general(
+            p.astype(ct), Mv.astype(ct), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[0, h] = out_ref[0, h] * alpha + pv
+
+    @pl.when(t == nt - 1)
+    def _():
+        out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
+
+
+def flash_decode(
+    q_rot,      # (B, Hkv, G, D) fp32 query, roped at each sample's position
+    k_planes,   # (L, B, Hkv, bits, TW, D) int32
+    v_planes,   # (L, B, Hkv, bits, TW, D) int32
+    kv_out,     # (L, B, Hkv, J, Tc) fp32 merged encoded outlier words
+    k_range,    # (L, Hkv, D) fp32
+    k_offset,   # (L, Hkv, D) fp32
+    v_scale,    # (L, B, Tc) fp32
+    v_offset,   # (L, B, Tc) fp32
+    k_sink,     # (L, B, Hkv, S, D) fp32 (post-RoPE)
+    v_sink,     # (L, B, Hkv, S, D) fp32
+    k_lut,      # (L, 2**bits) fp32 dequant LUT
+    v_lut,      # (L, 2**bits) fp32
+    li,         # scalar int32 layer index
+    pos,        # (B,) int32 per-sample absolute position being decoded
+    dcfg,
+    mcfg,
+    block_tokens: int = 1024,
+):
+    """Full attention over sink + packed cache for one layer/one token.
+    Returns (B, Hkv, G, D) fp32. Cache arrays stay (L, ...); the layer is
+    selected by scalar-prefetched index maps — no caller-side slicing."""
+    B, Hkv, G, D = q_rot.shape
+    bits = dcfg.bits
+    TW = k_planes.shape[-2]
+    Tc = TW * 32
+    BT = _pick_bt(Tc, block_tokens)
+    nt = Tc // BT
+    S = dcfg.sink
+    J = kv_out.shape[-2]
+    sparse = bool(dcfg.include_sparse)
+    K = 2 ** bits
+
+    kern = functools.partial(
+        _flash_kernel, bits=bits, D=D, BT=BT, S=S, G=G, Hkv=Hkv,
+        theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
+        window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
+        J=J, dot_bf16=dcfg.dot_bf16, nt=nt,
+    )
+    grid = (B, nt, Hkv)
+
+    def im(f):
+        # index maps receive (grid indices..., scalar-prefetch refs...)
+        return lambda b, t, h, li_r, pos_r: f(li_r[0], b, t, h)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
+                         im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
+                         im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, J, BT),
+                         im(lambda li, b, t, h: (li, b, h, 0, t)),
+                         memory_space=pltpu.VMEM),
+            # singleton sublane axes so the (sublane, lane) block dims equal
+            # the array dims (Mosaic tile rule for last-two dims)
+            pl.BlockSpec((1, 1, 1, D), im(lambda li, b, t, h: (li, h, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, D), im(lambda li, b, t, h: (li, h, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, h: (li, b, 0, t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, h: (li, b, 0, t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, max(S, 1), D),
+                         im(lambda li, b, t, h: (li, b, h, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, max(S, 1), D),
+                         im(lambda li, b, t, h: (li, b, h, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), im(lambda li, b, t, h: (li, 0, 0)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), im(lambda li, b, t, h: (li, 0, 0)),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, G, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),  # m
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),  # l
+            pltpu.VMEM((2, BT, D), jnp.float32),     # cos/sin
+            pltpu.VMEM((8, BT), jnp.float32),        # additive mask
+        ],
+    )
+
+    if S == 0:  # dummy 1-row sink blocks (never read: S==0 skips the init dot)
+        L = k_planes.shape[0]
+        k_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
+        v_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        interpret=_interpret(),
+    )(
+        jnp.reshape(jnp.asarray(li, jnp.int32), (1,)),
+        jnp.asarray(pos, jnp.int32).reshape(B),
+        q_rot.astype(jnp.float32),
+        k_planes,
+        v_planes,
+        kv_out,
+        k_range.astype(jnp.float32)[:, :, None, :],
+        k_offset.astype(jnp.float32)[:, :, None, :],
+        v_scale.astype(jnp.float32)[:, :, None, :],
+        v_offset.astype(jnp.float32)[:, :, None, :],
+        k_sink.astype(jnp.float32),
+        v_sink.astype(jnp.float32),
+        k_lut.astype(jnp.float32)[:, None, :],
+        v_lut.astype(jnp.float32)[:, None, :],
+    )
