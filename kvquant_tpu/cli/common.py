@@ -49,6 +49,49 @@ def add_quant_args(ap: argparse.ArgumentParser):
     ap.add_argument("--qnorm", action="store_true", default=False)
 
 
+def add_parallel_args(ap: argparse.ArgumentParser):
+    """Mesh / multi-host flags (parallel/mesh.py + parallel/distributed.py).
+    The reference's only multi-device story is a single-process GPU layer
+    split (modeling_llama.py:2428-2453) — here dp spans hosts over DCN and
+    tp shards heads/experts inside each host's ICI domain."""
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel size")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel size (default: devices/dp; must "
+                         "divide the kv-head count)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize from "
+                         "KVQ_COORDINATOR/KVQ_NUM_PROCESSES/KVQ_PROCESS_ID "
+                         "or the flags below")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+
+
+def setup_parallel(args):
+    """Initialize distributed mode (if requested) and return a Mesh or None
+    (single device). Call BEFORE any other JAX use."""
+    from ..parallel.distributed import init_distributed, make_multihost_mesh
+    from ..parallel.mesh import make_mesh
+    import jax
+    import os
+
+    # the axon sitecustomize pins jax_platforms at import time; an explicit
+    # JAX_PLATFORMS in the environment should still win for CLI runs
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat and str(jax.config.jax_platforms) != env_plat:
+        jax.config.update("jax_platforms", env_plat)
+
+    if getattr(args, "distributed", False):
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        return make_multihost_mesh(tp=args.tp)
+    if args.dp * (args.tp or 1) > 1 or args.tp is not None:
+        return make_mesh(dp=args.dp, tp=args.tp)
+    if len(jax.devices()) > 1:
+        return make_mesh(dp=1, tp=None)
+    return None
+
+
 def add_data_args(ap: argparse.ArgumentParser):
     ap.add_argument("--dataset", default="synthetic",
                     help="synthetic | text (with --dataset-path)")

@@ -28,8 +28,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(ap)
     common.add_data_args(ap)
+    common.add_parallel_args(ap)
     ap.add_argument("--quantizers", required=True)
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="flash",
+                    choices=["flash", "pallas", "xla"])
     ap.add_argument("--benchmark", type=int, default=64,
                     help="decode steps to time")
     ap.add_argument("--prefill", type=int, default=0,
@@ -40,6 +42,7 @@ def main(argv=None):
                     help="also compute deployed ppl vs simulated ppl")
     args = ap.parse_args(argv)
 
+    mesh = common.setup_parallel(args)  # before any other JAX use
     params, cfg = common.load_model(args)
     qs = load_quantizers(args.quantizers)
     maxlen = args.maxlen or (args.prefill + args.benchmark + 32)
@@ -68,6 +71,14 @@ def main(argv=None):
     steps = args.benchmark
     t0 = max(args.prefill, 1)
     cache = create_cache(dcfg, cfg.n_layers, 1)
+    if mesh is not None:
+        from ..parallel import shardings
+
+        params = shardings.shard_params(mesh, params)
+        dq = shardings.shard_quant(mesh, dq)
+        cache = shardings.shard_cache(mesh, cache)
+        print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} "
+              f"devices / {jax.process_count()} process(es)")
 
     @jax.jit
     def decode_loop(params, dq, cache, tok):

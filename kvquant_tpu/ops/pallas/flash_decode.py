@@ -50,11 +50,17 @@ from .attention import _pick_bt, _interpret, GROUP, WPG
 NEG = -1e30
 
 
-def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
-    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) fp32 via mux tree.
+def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int,
+                    ct=jnp.float32):
+    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) dequantized in ``ct``.
 
     Same reconstruction as ops/pallas/attention.py:_unpack_dequant_block but
-    taking the LUT as a list of scalars (read from an SMEM block)."""
+    taking the LUT as a list of scalars (read from an SMEM block). With
+    ct=bfloat16 the mux-tree selects run on bf16 tiles — the kernel is
+    VPU-bound, and 16-bit element ops double the per-cycle lane throughput;
+    bf16 representation error (2^-8 relative) is far below the quantization
+    noise of any supported bit width."""
+    f32 = ct == jnp.float32
     shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
     groups = []
     for g in range(BT // GROUP):
@@ -63,29 +69,71 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
             w = pltpu.repeat(
                 words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
             )
-            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
-        level = list(lut_vals)
-        for b in range(bits):
+            bit = (w >> shift) & jnp.uint32(1)
+            # fp32: boolean masks + select tree. bf16: Mosaic cannot relayout
+            # the 32-bit-derived i1 masks for 16-bit selects, so the mux is
+            # arithmetic instead: node = lo + (hi - lo) * m with m in {0, 1}
+            # (cast chain bool -> f32 -> bf16; uint32 -> bf16 is unsupported).
+            masks.append(
+                bit != 0 if f32
+                else (bit != 0).astype(jnp.float32).astype(ct)
+            )
+        if f32:
+            level = list(lut_vals)
+            for b in range(bits):
+                level = [
+                    jnp.where(masks[b], level[2 * i + 1], level[2 * i])
+                    for i in range(len(level) // 2)
+                ]
+        else:
+            # leaf: scalar arithmetic stays f32 (scalar bf16 subf doesn't
+            # legalize); only the broadcast into the mask tensor is ct
             level = [
-                jnp.where(masks[b], level[2 * i + 1], level[2 * i])
-                for i in range(len(level) // 2)
+                (
+                    jnp.asarray(lut_vals[2 * i]).astype(ct)
+                    + jnp.asarray(
+                        lut_vals[2 * i + 1] - lut_vals[2 * i]
+                    ).astype(ct) * masks[0]
+                )
+                for i in range(2 ** (bits - 1))
             ]
+            for b in range(1, bits):
+                level = [
+                    level[2 * i] + (level[2 * i + 1] - level[2 * i]) * masks[b]
+                    for i in range(len(level) // 2)
+                ]
         groups.append(level[0])
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
-def _outlier_m(ow, D: int, BT: int):
+def _outlier_m(ow, D: int, BT: int, ct=jnp.float32):
     """(J, BT) encoded outlier words -> dense (BT, D) addend (pre-RoPE /
-    raw-value space). One compare + convert + fma per slot per element."""
+    raw-value space) in ``ct``. One compare + convert + fma per slot per
+    element."""
     J = ow.shape[0]
+    f32 = ct == jnp.float32
     w = jnp.transpose(ow)  # (BT, J)
     u = pltpu.bitcast(w, jnp.uint32)
     oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
-    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32)
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
-    M = jnp.zeros((BT, D), jnp.float32)
-    for j in range(J):
-        M += ov[:, j:j + 1] * (iota_d == oi[:, j:j + 1]).astype(jnp.float32)
+    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32).astype(ct)
+    M = jnp.zeros((BT, D), ct)
+    if f32:
+        iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+        for j in range(J):
+            M += ov[:, j:j + 1] * (iota_d == oi[:, j:j + 1]).astype(ct)
+    else:
+        # bf16 equality compares don't legalize on this target: build the
+        # one-hot arithmetically as relu(1 - |iota - dim|), exact for
+        # integer-valued bf16 operands (dims <= 127 are exact in bf16)
+        oi_ct = oi.astype(jnp.float32).astype(ct)
+        iota_d = (
+            jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+            .astype(jnp.float32).astype(ct)
+        )
+        one = jnp.asarray(1.0, ct)
+        for j in range(J):
+            hit = jnp.maximum(one - jnp.abs(iota_d - oi_ct[:, j:j + 1]), 0)
+            M += ov[:, j:j + 1] * hit
     return M
 
 
@@ -111,30 +159,32 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
         inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
         ang = ((S + tt).astype(jnp.float32) / scaling) * inv_freq
         c, s = jnp.cos(ang), jnp.sin(ang)
-        cs_ref[0] = jnp.concatenate([c, c], axis=1)
-        cs_ref[1] = jnp.concatenate([s, s], axis=1)
+        cs_ref[0] = jnp.concatenate([c, c], axis=1).astype(cs_ref.dtype)
+        cs_ref[1] = jnp.concatenate([s, s], axis=1).astype(cs_ref.dtype)
         idx = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 1) + t * BT
         valid = idx <= pos - S
         if window is not None:
             valid &= (idx + S) > pos - window
         mask_ref[...] = jnp.where(valid, 0.0, NEG)
 
-    cos = cs_ref[0]
+    cos = cs_ref[0]  # stored in ct already (scratch dtype matches)
     sin = cs_ref[1]
     q = q_ref[0, h]  # (G, D) fp32, already roped at the query position
 
     # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
+    # all (BT, D) elementwise work runs in ``ct`` (bf16 by default — the
+    # kernel is VPU-bound and 16-bit doubles lane throughput)
     kwords = kp_ref[0, 0, 0].astype(jnp.uint32)
     klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
-    kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
-    kd = kd * krng_ref[0, 0] + koff_ref[0, 0]  # (1, D) per-channel range
+    kd = _unpack_dequant(kwords, klut, bits, D, BT, ct)  # (BT, D)
+    kd = kd * krng_ref[0, 0].astype(ct) + koff_ref[0, 0].astype(ct)
     if sparse:
-        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT)
+        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT, ct)
     k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
     kx = kd * cos + k_rot * sin
 
     s_blk = jax.lax.dot_general(
-        q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
+        q.astype(ct), kx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv  # (G, BT)
     s_blk = s_blk + mask_ref[0:1, :]
@@ -182,17 +232,17 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     # ---- V: unpack + dequant + outliers, score.V ----
     vwords = vp_ref[0, 0, 0].astype(jnp.uint32)
     vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
-    vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D) normalized
+    vd = _unpack_dequant(vwords, vlut, bits, D, BT, ct)  # (BT, D) normalized
     ps = p * vsc_ref[0, 0]  # fold per-token scale into the probabilities
     pv = jax.lax.dot_general(
-        ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
+        ps.astype(ct), vd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (G, D)
     pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
     if sparse:
-        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT)
+        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT, ct)
         pv += jax.lax.dot_general(
-            p.astype(ct), Mv.astype(ct), (((1,), (0,)), ((), ())),
+            p.astype(ct), Mv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -220,7 +270,7 @@ def flash_decode(
     pos,        # (B,) int32 per-sample absolute position being decoded
     dcfg,
     mcfg,
-    block_tokens: int = 1024,
+    block_tokens: int = 2048,
 ):
     """Full attention over sink + packed cache for one layer/one token.
     Returns (B, Hkv, G, D) fp32. Cache arrays stay (L, ...); the layer is
@@ -291,7 +341,12 @@ def flash_decode(
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 128), jnp.float32),  # m
             pltpu.VMEM((Hkv, G, 128), jnp.float32),  # l
-            pltpu.VMEM((2, BT, D), jnp.float32),     # cos/sin
+            # cos/sin in the compute dtype (bf16 halves both the scratch
+            # footprint and the per-head multiply cost)
+            pltpu.VMEM(
+                (2, BT, D),
+                jnp.bfloat16 if dcfg.dot_bf16 else jnp.float32,
+            ),
             pltpu.VMEM((8, BT), jnp.float32),        # additive mask
         ],
     )

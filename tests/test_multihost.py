@@ -1,0 +1,141 @@
+"""Multi-host (2-process) execution test on CPU.
+
+Spawns two subprocesses, each with 4 virtual CPU devices, assembles the
+8-device global runtime via jax.distributed.initialize (gloo collectives),
+builds the (dp=2, tp=4) global mesh with dp spanning the process (DCN)
+boundary, and runs one sharded quantized decode step. Process 0 compares
+the gathered logits against a single-process reference — proving the
+sharded datapath crosses process boundaries unchanged.
+
+The reference has no distributed backend at all (SURVEY.md §2.3); this is
+the framework's jax.distributed story, testable without 2 real hosts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from kvquant_tpu.parallel.distributed import init_distributed, make_multihost_mesh
+
+    assert init_distributed()
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    import jax.numpy as jnp
+    from kvquant_tpu import engine
+    from kvquant_tpu.cache import DeployConfig, create_cache, deployed_from_quantizers
+    from kvquant_tpu.models import TINY_LLAMA, init_params
+    from kvquant_tpu.parallel import shardings
+    from kvquant_tpu.quant.calibration import collect_kv_activations, fit_quantizers
+    from jax.experimental import multihost_utils
+
+    cfg = TINY_LLAMA
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    cal = jax.random.randint(jax.random.PRNGKey(7), (2, 40), 0, cfg.vocab_size)
+    k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
+    qs = fit_quantizers(
+        k_acts, v_acts, bits=3, sparsity_threshold=0.99, cap_outliers=True,
+        first_few_fp16=5, sample_seqlen=40, kmeans_iters=5,
+    )
+    dcfg = DeployConfig.create(
+        bits=3, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head, max_len=40,
+        sink=5, kernel="xla",
+    )
+    dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+
+    B = 4  # global batch; dp=2 puts 2 samples per process
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, 8), 0, cfg.vocab_size)
+
+    # single-process reference (replicated data, local arrays)
+    cache0 = create_cache(dcfg, cfg.n_layers, B)
+    ref_logits = None
+    c = cache0
+    for t in range(8):
+        c, ref_logits = engine.decode_step(
+            params, cfg, dcfg, dq, c, toks[:, t], jnp.int32(t)
+        )
+    ref = np.asarray(ref_logits)
+
+    # global-mesh sharded decode: dp spans the two processes
+    mesh = make_multihost_mesh(tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}, mesh.shape
+    sp = shardings.shard_params(mesh, params)
+    sq = shardings.shard_quant(mesh, dq)
+    sc = shardings.shard_cache(mesh, create_cache(dcfg, cfg.n_layers, B))
+    stoks = multihost_utils.host_local_array_to_global_array(
+        np.asarray(toks), mesh, jax.sharding.PartitionSpec(None, None)
+    )
+
+    step = jax.jit(
+        lambda c, tok, pos: engine.decode_step(sp, cfg, dcfg, sq, c, tok, pos),
+        out_shardings=(shardings.cache_shardings(mesh),
+                       jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp", None))),
+    )
+    logits = None
+    c = sc
+    for t in range(8):
+        c, logits = step(c, stoks[:, t], jnp.int32(t))
+    got = np.asarray(multihost_utils.process_allgather(logits, tiled=True))
+
+    if jax.process_index() == 0:
+        diff = np.abs(got - ref)
+        # same trajectory-tolerance story as the single-host kernel tests:
+        # different compiled programs flip V-range boundary ties
+        assert np.quantile(diff, 0.5) < 5e-3, np.quantile(diff, 0.5)
+        assert diff.max() < 0.25, diff.max()
+        agree = np.mean(np.argmax(got, -1) == np.argmax(ref, -1))
+        assert agree > 0.95, agree
+        print("MULTIHOST_OK", diff.max())
+    """
+)
+
+
+def test_two_process_sharded_decode(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env_base = dict(os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "KVQ_COORDINATOR": f"localhost:{port}",
+        "KVQ_NUM_PROCESSES": "2",
+        "PYTHONPATH": REPO + os.pathsep + env_base.get("PYTHONPATH", ""),
+    })
+    procs = []
+    for i in range(2):
+        env = dict(env_base, KVQ_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    assert "MULTIHOST_OK" in outs[0], outs[0][-4000:]
