@@ -50,6 +50,7 @@ def main():
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
     with_fp16 = os.environ.get("BENCH_FP16", "1") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 1))
+    head_group = int(os.environ.get("BENCH_HEADGROUP", 4))
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -75,7 +76,7 @@ def main():
     dcfg = DeployConfig.create(
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
-        include_sparse=sparse,
+        include_sparse=sparse, head_group=head_group,
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 

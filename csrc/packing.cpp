@@ -11,7 +11,7 @@
 //   token t lives in group g = t/128, word row g*4 + (t%128)%4,
 //   bit (t%128)/4; planes shape (..., bits, T/32, D), codes (..., T, D).
 //
-// Outlier words: fp32 bit pattern = (residual bits & ~0x7F) | dim.
+// Outlier words: fp32 bit pattern = (residual bits & ~0x1FF) | (head_in_group<<7 | dim).
 
 #include <cstdint>
 #include <cstring>
@@ -76,7 +76,7 @@ void kvq_encode_outliers(const float* vals, const int32_t* idx,
     for (int64_t i = 0; i < n; ++i) {
         uint32_t bits_;
         std::memcpy(&bits_, &vals[i], 4);
-        bits_ = (bits_ & 0xFFFFFF80u) | ((uint32_t)idx[i] & 0x7Fu);
+        bits_ = (bits_ & 0xFFFFFE00u) | ((uint32_t)idx[i] & 0x1FFu);
         std::memcpy(&out[i], &bits_, 4);
     }
 }
@@ -87,8 +87,8 @@ void kvq_decode_outliers(const float* words, float* vals, int32_t* idx,
     for (int64_t i = 0; i < n; ++i) {
         uint32_t bits_;
         std::memcpy(&bits_, &words[i], 4);
-        idx[i] = (int32_t)(bits_ & 0x7Fu);
-        const uint32_t vb = bits_ & 0xFFFFFF80u;
+        idx[i] = (int32_t)(bits_ & 0x1FFu);
+        const uint32_t vb = bits_ & 0xFFFFFE00u;
         std::memcpy(&vals[i], &vb, 4);
     }
 }

@@ -52,7 +52,8 @@ class DeployConfig:
     n_kv_heads: int
     d_head: int
     max_len: int  # total context capacity incl. sink tokens
-    cap_per_side: int  # outlier slots per side per token
+    cap_per_side: int  # outlier slots per side per token PER HEAD GROUP
+    head_group: int = 1  # kv heads sharing one outlier slot tile (1, 2, 4)
     sink: int = 5  # first_few_fp16
     sparsity_threshold: float = 0.99
     include_sparse: bool = True
@@ -78,8 +79,20 @@ class DeployConfig:
         return ((t + unit - 1) // unit) * unit
 
     @property
+    def n_groups(self) -> int:
+        """Outlier head groups: ``head_group`` kv heads share one slot tile
+        (the cap budget pools over the group's head_group*d_head dims).
+        Bytes and kernel read traffic for outliers scale with 1/head_group;
+        at head_group=4 the per-token outlier bytes drop BELOW the
+        reference's global 42-slot rows while staying head-shardable."""
+        assert self.n_kv_heads % self.head_group == 0, (
+            self.n_kv_heads, self.head_group
+        )
+        return self.n_kv_heads // self.head_group
+
+    @property
     def n_slots(self) -> int:
-        """Total outlier slots per (token, kv-head) — K and V sides
+        """Total outlier slots per (token, head group) — K and V sides
         together — padded to the fp32 8-sublane tile so the merged (J, Tc)
         outlier array is dense on TPU."""
         return ((4 * self.cap_per_side + 7) // 8) * 8
@@ -91,10 +104,16 @@ class DeployConfig:
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
                sparsity_threshold=0.99, include_sparse=True, kernel="xla",
-               cap_per_side=None, dot_bf16=True):
+               cap_per_side=None, dot_bf16=True, head_group=1):
+        if head_group in (None, 0):  # auto: largest of {1,2,4} that divides
+            head_group = 4
+        while n_kv_heads % head_group:
+            head_group //= 2
+        assert head_group * d_head <= 512, "9-bit (head, dim) index field"
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
             cap_per_side=(2 if cap_per_side is None else cap_per_side),
+            head_group=head_group,
             sink=sink, sparsity_threshold=sparsity_threshold,
             include_sparse=include_sparse, kernel=kernel,
             v_range_exclude=outlier_budget_per_side(
@@ -136,7 +155,7 @@ def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
     return KVCache(
         k_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
         v_planes=z((L, B, H, dcfg.bits, TW, D), jnp.int32),
-        kv_out=z((L, B, H, ns, Tc), jnp.float32),
+        kv_out=z((L, B, dcfg.n_groups, ns, Tc), jnp.float32),
         v_scale=z((L, B, Tc), jnp.float32),
         v_offset=z((L, B, Tc), jnp.float32),
         k_sink=z((L, B, H, S, D), jnp.float32),
@@ -155,10 +174,13 @@ def cache_bytes(dcfg: DeployConfig, n_layers: int, batch: int) -> dict:
     C = dcfg.kv_hidden
     Tc = dcfg.cache_tokens
     packed = 2 * n_layers * batch * C * dcfg.bits * Tc // 8
-    outliers = n_layers * batch * dcfg.n_kv_heads * Tc * dcfg.n_slots * 4
+    outliers = n_layers * batch * dcfg.n_groups * Tc * dcfg.n_slots * 4
     vlut = 2 * n_layers * batch * Tc * 4
     sink = 2 * n_layers * batch * C * dcfg.sink * 4
-    fp16 = 2 * n_layers * batch * C * dcfg.max_len * 2
+    # fp16 baseline at the SAME preallocated capacity (both caches are
+    # static allocations; comparing rounded capacity vs requested max_len
+    # would charge the rounding to the quantized side only)
+    fp16 = 2 * n_layers * batch * C * (Tc + dcfg.sink) * 2
     total = packed + outliers + vlut + sink
     return dict(
         packed=packed, outliers=outliers, v_range=vlut, sink=sink,

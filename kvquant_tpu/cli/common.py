@@ -85,10 +85,10 @@ def setup_parallel(args):
     if getattr(args, "distributed", False):
         init_distributed(args.coordinator, args.num_processes, args.process_id)
         return make_multihost_mesh(tp=args.tp)
-    if args.dp * (args.tp or 1) > 1 or args.tp is not None:
+    # mesh only when explicitly requested — head counts must divide tp, so
+    # silently meshing over all visible devices would break small models
+    if args.dp > 1 or args.tp is not None:
         return make_mesh(dp=args.dp, tp=args.tp)
-    if len(jax.devices()) > 1:
-        return make_mesh(dp=1, tp=None)
     return None
 
 

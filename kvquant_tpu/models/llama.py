@@ -171,11 +171,13 @@ class SimQuantParams:
 
 
 def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
-                             cap_per_side=2) -> SimQuantParams:
+                             cap_per_side=2, head_group=1) -> SimQuantParams:
     """Build stacked simulated-quant params from a QuantizerSet artifact.
     ``n_kv_heads`` sets the per-(token, kv-head) outlier budget granularity
     and ``cap_per_side`` the per-head budget — pass the model's kv-head
-    count and the DeployConfig's cap so the oracle matches deployment."""
+    count and the DeployConfig's cap so the oracle matches deployment.
+    ``head_group`` pools the budget over groups of kv heads exactly like
+    DeployConfig.head_group (pass the same value for oracle alignment)."""
     import numpy as np
 
     k_lower = np.stack([lq.k.lower for lq in qs.layers])
@@ -202,12 +204,13 @@ def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
     from ..quant.outliers import outlier_budget_per_side
 
     C = k_lower.shape[-1]
+    assert n_kv_heads % head_group == 0, (n_kv_heads, head_group)
     cfg = SimQuantConfig(
         bits=qs.bits,
         include_sparse=True,
         sparsity_threshold=qs.sparsity_threshold,
         cap_per_side=cap_per_side if qs.cap_outliers else 0,
-        n_kv_heads=n_kv_heads,
+        n_kv_heads=n_kv_heads // head_group,
         v_range_exclude=outlier_budget_per_side(C, qs.sparsity_threshold),
         first_few_fp16=qs.first_few_fp16,
         v_mode=v_mode,

@@ -115,8 +115,8 @@ def encode_outliers(vals: np.ndarray, idx: np.ndarray) -> np.ndarray:
     else:
         bits = vals.view(np.uint32)
         out = (
-            (bits & np.uint32(0xFFFFFF80))
-            | (idx.astype(np.uint32) & np.uint32(0x7F))
+            (bits & np.uint32(0xFFFFFE00))
+            | (idx.astype(np.uint32) & np.uint32(0x1FF))
         ).view(np.float32)
     return out
 
@@ -131,6 +131,6 @@ def decode_outliers(words: np.ndarray):
                                 idx.reshape(-1), words.size)
     else:
         u = words.view(np.uint32)
-        idx = (u & np.uint32(0x7F)).astype(np.int32)
-        vals = (u & np.uint32(0xFFFFFF80)).view(np.float32)
+        idx = (u & np.uint32(0x1FF)).astype(np.int32)
+        vals = (u & np.uint32(0xFFFFFE00)).view(np.float32)
     return vals, idx

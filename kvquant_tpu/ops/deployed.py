@@ -74,7 +74,7 @@ def _headwise_residual_outliers(xf, resc, deq, cap: int):
 
 
 def _encode_padded(ovals, oidx, n_slots: int):
-    """(..., Hkv, 2*cap) residuals/dims -> (..., Hkv, n_slots) encoded fp32
+    """(..., G, 2*cap) residuals/9-bit idx -> (..., G, n_slots) encoded fp32
     words, zero-padded."""
     words = encode_outlier_words(ovals, oidx)
     # non-genuine slots carry value 0: their encoded word is just the dim
@@ -83,6 +83,24 @@ def _encode_padded(ovals, oidx, n_slots: int):
     if pad:
         words = jnp.pad(words, ((0, 0),) * (words.ndim - 1) + ((0, pad),))
     return words
+
+
+def _group_outlier_words(x_g, xn_g, deq_g, dcfg: DeployConfig):
+    """Shared outlier path for K and V: extract the per-(token, head-group)
+    fixed-budget residual outliers in group space and encode them with the
+    9-bit ``head_in_group << 7 | dim`` index (ops/packing.py).
+
+    x_g/xn_g/deq_g: (..., n_groups, head_group * d_head) raw / normalized /
+    dense-dequantized values."""
+    base = jnp.abs(xn_g) > 1.0
+    resc = jnp.where(base, jnp.abs(xn_g), 0.0)
+    signed = jnp.where(xn_g > 0, resc, -resc)
+    ovals, oidx = _headwise_residual_outliers(
+        x_g, signed, deq_g, dcfg.cap_per_side
+    )
+    D = dcfg.d_head
+    oidx9 = (oidx // D) * 128 + (oidx % D)
+    return _encode_padded(ovals, oidx9, dcfg.slots_per_kind)
 
 
 def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
@@ -102,13 +120,10 @@ def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
 
     out_words = None
     if dcfg.include_sparse:
-        base = jnp.abs(xn) > 1.0
-        resc = jnp.where(base, jnp.abs(xn), 0.0)
-        signed = jnp.where(xn > 0, resc, -resc)
-        ovals, oidx = _headwise_residual_outliers(
-            kf, signed, deq, dcfg.cap_per_side
+        gshape = (*k.shape[:-1], dcfg.n_groups, dcfg.head_group * D)
+        out_words = _group_outlier_words(
+            kf.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape), dcfg
         )
-        out_words = _encode_padded(ovals, oidx, dcfg.slots_per_kind)
     return codes, out_words
 
 
@@ -137,13 +152,10 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
 
     out_words = None
     if dcfg.include_sparse:
-        base = jnp.abs(xn) > 1.0
-        resc = jnp.where(base, jnp.abs(xn), 0.0)
-        signed = jnp.where(xn > 0, resc, -resc)
-        ovals, oidx = _headwise_residual_outliers(
-            vh, signed, deq, dcfg.cap_per_side
+        gshape = (*v.shape[:-1], dcfg.n_groups, dcfg.head_group * D)
+        out_words = _group_outlier_words(
+            vh.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape), dcfg
         )
-        out_words = _encode_padded(ovals, oidx, dcfg.slots_per_kind)
     return codes, out_words, scale[..., 0], offset[..., 0]
 
 
@@ -151,13 +163,20 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
 # full-cache dequantization (reference path; production uses Pallas kernels)
 # ---------------------------------------------------------------------------
 
-def _outlier_addend(out_words, d_head):
-    """(B, Hkv, J, Tc) encoded per-head slots -> dense (B, Hkv, Tc, D)
-    addend, via a one-hot contraction (XLA scatter serializes on TPU).
-    Padding slots decode to value 0, so index collisions are harmless."""
-    vals, idx = decode_outlier_words(out_words)
-    onehot = (idx[..., None] == jnp.arange(d_head)).astype(jnp.float32)
-    return jnp.einsum("bhjt,bhjtd->bhtd", vals, onehot)
+def _outlier_addend(out_words, dcfg: DeployConfig):
+    """(B, n_groups, J, Tc) encoded slots -> dense (B, Hkv, Tc, D) addend,
+    via a one-hot contraction over the group's head_group*d_head dims (XLA
+    scatter serializes on TPU). Padding slots decode to value 0, so index
+    collisions are harmless."""
+    B, Gp, J, Tc = out_words.shape
+    D, hg = dcfg.d_head, dcfg.head_group
+    vals, idx9 = decode_outlier_words(out_words)
+    gidx = (idx9 >> 7) * D + (idx9 & 0x7F)  # dense index in group space
+    onehot = (gidx[..., None] == jnp.arange(hg * D)).astype(jnp.float32)
+    dense = jnp.einsum("bgjt,bgjtd->bgtd", vals, onehot)  # (B,Gp,Tc,hg*D)
+    return dense.reshape(B, Gp, Tc, hg, D).transpose(0, 1, 3, 2, 4).reshape(
+        B, Gp * hg, Tc, D
+    )
 
 
 def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
@@ -169,7 +188,7 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
     )
     if dcfg.include_sparse and with_outliers:
         deq = deq + _outlier_addend(
-            cache_l.kv_out[:, :, : dcfg.slots_per_kind], dcfg.d_head
+            cache_l.kv_out[:, :, : dcfg.slots_per_kind], dcfg
         )
     return deq
 
@@ -183,7 +202,7 @@ def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
     )
     if dcfg.include_sparse and with_outliers:
         deq = deq + _outlier_addend(
-            cache_l.kv_out[:, :, dcfg.slots_per_kind :], dcfg.d_head
+            cache_l.kv_out[:, :, dcfg.slots_per_kind :], dcfg
         )
     return deq
 
@@ -403,10 +422,11 @@ def append_token_flash(
 
         def put_out(arr, words, row0):
             n = words.shape[-1]
+            Gp = arr.shape[2]
 
-            def one(a_b, w_b, p_b, pr_b):  # a_b (L, Hkv, J, Tc)
+            def one(a_b, w_b, p_b, pr_b):  # a_b (L, n_groups, J, Tc)
                 old = jax.lax.dynamic_slice(
-                    a_b, (li, 0, row0, p_b), (1, Hkv, n, 1)
+                    a_b, (li, 0, row0, p_b), (1, Gp, n, 1)
                 )
                 new = jnp.where(
                     pr_b, w_b[None, :, :, None].astype(a_b.dtype), old

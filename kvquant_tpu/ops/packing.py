@@ -133,36 +133,43 @@ def set_token_codes_at_layer(planes, codes, li, pos, pred=None):
 # outlier word encoding
 # ---------------------------------------------------------------------------
 
-# An outlier slot is ONE fp32 word: the residual value with its low 7
-# mantissa bits replaced by the in-head dim index (d_head <= 128). Value
-# precision loss is <= 2^-16 relative — better than the reference's fp16
-# outlier storage — and the single fp32 array keeps the TPU layout dense:
-# slots live on the 8-sublane axis of a (..., J, Tc) array (J a multiple of
-# 8), with the long token axis on lanes. A separate small-last-dim index
-# array would be lane-padded 16-64x by TPU tiling (measured: +460 MB/step
-# of phantom HBM traffic at 32K context).
+# An outlier slot is ONE fp32 word: the residual value with its low 9
+# mantissa bits replaced by a (head-in-group, dim) index — bit layout
+# ``head_in_group << 7 | dim`` (d_head <= 128, head groups of up to 4 kv
+# heads share one slot tile). Value precision loss is <= 2^-14 relative —
+# still better than the reference's fp16 outlier storage — and the single
+# fp32 array keeps the TPU layout dense: slots live on the 8-sublane axis
+# of a (..., J, Tc) array (J a multiple of 8), with the long token axis on
+# lanes. A separate small-last-dim index array would be lane-padded 16-64x
+# by TPU tiling (measured: +460 MB/step of phantom HBM traffic at 32K
+# context). Head grouping (DeployConfig.head_group) divides the outlier
+# array's bytes AND its kernel read traffic by the group size: the
+# reference stores a GLOBAL 42-slot row per token (modeling_llama.py:
+# 396-397); per-head tiles cost 4x more bytes than that, per-4-head-group
+# tiles come in BELOW it while keeping the array head-shardable.
 
-OUTLIER_DIM_MASK = 0x7F
+OUTLIER_DIM_MASK = 0x7F     # low 7 bits: dim within the head
+OUTLIER_IDX_MASK = 0x1FF    # full 9-bit (head_in_group, dim) field
 
 
 def encode_outlier_words(vals, idx):
-    """(vals fp32, idx int32 in [0,128)) -> fp32 words."""
+    """(vals fp32, idx int32 = head_in_group << 7 | dim) -> fp32 words."""
     bits = jax.lax.bitcast_convert_type(
         vals.astype(jnp.float32), jnp.uint32
     )
-    word = (bits & jnp.uint32(~OUTLIER_DIM_MASK & 0xFFFFFFFF)) | (
-        idx.astype(jnp.uint32) & jnp.uint32(OUTLIER_DIM_MASK)
+    word = (bits & jnp.uint32(~OUTLIER_IDX_MASK & 0xFFFFFFFF)) | (
+        idx.astype(jnp.uint32) & jnp.uint32(OUTLIER_IDX_MASK)
     )
     return jax.lax.bitcast_convert_type(word, jnp.float32)
 
 
 def decode_outlier_words(words):
-    """fp32 words -> (vals fp32, idx int32). Zero-padded slots decode to
-    (~0.0, 0): the value keeps a harmless sub-denormal magnitude of the
-    index bits' worth, flushed by the mask below."""
+    """fp32 words -> (vals fp32, idx int32 = head_in_group << 7 | dim).
+    Zero-padded slots decode to (~0.0, 0): the value keeps a harmless
+    sub-denormal magnitude of the index bits' worth."""
     u = jax.lax.bitcast_convert_type(words, jnp.uint32)
-    idx = (u & jnp.uint32(OUTLIER_DIM_MASK)).astype(jnp.int32)
+    idx = (u & jnp.uint32(OUTLIER_IDX_MASK)).astype(jnp.int32)
     vals = jax.lax.bitcast_convert_type(
-        u & jnp.uint32(~OUTLIER_DIM_MASK & 0xFFFFFFFF), jnp.float32
+        u & jnp.uint32(~OUTLIER_IDX_MASK & 0xFFFFFFFF), jnp.float32
     )
     return vals, idx

@@ -109,11 +109,13 @@ def _pick_bt(Tc: int, block_tokens: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None):
-    """Build the dense (BT, D) addend of this block's per-head outliers in
-    VMEM (never touches HBM). ow: (J, BT) encoded fp32 words (residual value
-    bits | 7-bit in-head dim, ops/packing.py) — one transpose puts slots on
-    lanes, then value/dim unpack is two bitmasks.
+def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None,
+                          hg: int = 1, hsel=None):
+    """Build the dense (BT, D) addend of this block's outliers in VMEM
+    (never touches HBM). ow: (J, BT) encoded fp32 words (residual value
+    bits | 9-bit head_in_group<<7|dim field, ops/packing.py) — one
+    transpose puts slots on lanes, then value/index unpack is bitmasks.
+    With head grouping, slots whose head field != ``hsel`` are zeroed.
 
     With cos/sin (the dense path's (BT, D) RoPE tiles), the addend lands
     already rotated: val*cos at its dim and sign*val*sin at its rotate-half
@@ -127,7 +129,10 @@ def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None):
     w = jnp.transpose(ow)  # (BT, J)
     u = pltpu.bitcast(w, jnp.uint32)
     oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
-    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32)
+    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFE00), jnp.float32)
+    if hg > 1:
+        hig = ((u >> 7) & jnp.uint32(0x3)).astype(jnp.int32)
+        ov = jnp.where(hig == hsel, ov, 0.0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
     M = jnp.zeros((BT, D), jnp.float32)
     for j in range(J):
@@ -146,7 +151,9 @@ def _outlier_addend_block(ow, D: int, BT: int, cos=None, sin=None):
 
 def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
                out_ref, *, bits, D, BT, K, sink, theta, scaling, sparse, spk,
-               dot_bf16):
+               dot_bf16, hg):
+    h = pl.program_id(0)
+    hsel = h % hg if hg > 1 else None
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)  # (bits, BT//32, D)
     k = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
@@ -158,7 +165,8 @@ def _qk_kernel(q_ref, planes_ref, ow_ref, rng_ref, off_ref, lut_ref,
     kx = k * cos + k_rot * sin  # (BT, D)
 
     if sparse:
-        kx += _outlier_addend_block(ow_ref[0, :spk], D, BT, cos, sin)
+        kx += _outlier_addend_block(ow_ref[0, :spk], D, BT, cos, sin,
+                                    hg, hsel)
 
     # bf16 dot inputs, fp32 accumulation: the MXU runs fp32 matmuls at a
     # fraction of its bf16 rate; the reference's CUDA kernels likewise
@@ -188,14 +196,15 @@ def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
     K = 2 ** bits
     J = kv_out.shape[-2] if kv_out is not None else 0
     sparse = dcfg.include_sparse and J > 0
+    hg = dcfg.head_group
     if not sparse:
-        kv_out = jnp.zeros((Hkv, 8, Tc), jnp.float32)
+        kv_out = jnp.zeros((Hkv // hg, 8, Tc), jnp.float32)
         J = 8
 
     kern = functools.partial(
         _qk_kernel, bits=bits, D=D, BT=BT, K=K, sink=dcfg.sink,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling, sparse=sparse,
-        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16,
+        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16, hg=hg,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -206,7 +215,7 @@ def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J, BT), lambda h, t: (h, 0, t),
+            pl.BlockSpec((1, J, BT), lambda h, t, _hg=hg: (h // _hg, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -234,7 +243,9 @@ def qk_fused(q_rot, k_planes, kv_out, k_range, k_offset, lut, dcfg,
 
 
 def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
-               out_ref, *, bits, D, BT, K, sparse, spk, dot_bf16):
+               out_ref, *, bits, D, BT, K, sparse, spk, dot_bf16, hg):
+    h = pl.program_id(0)
+    hsel = h % hg if hg > 1 else None
     tb = pl.program_id(1)
     words = planes_ref[0].astype(jnp.uint32)
     deq = _unpack_dequant_block(words, lut_ref, bits, D, BT)  # (BT, D)
@@ -251,7 +262,7 @@ def _pv_kernel(p_ref, planes_ref, ow_ref, sc_ref, off_ref, lut_ref,
     tile = tile + jnp.sum(p * off_ref[0], axis=1, keepdims=True)
 
     if sparse:
-        M = _outlier_addend_block(ow_ref[0, spk:], D, BT)
+        M = _outlier_addend_block(ow_ref[0, spk:], D, BT, hg=hg, hsel=hsel)
         tile += jax.lax.dot_general(
             p.astype(ct), M.astype(ct),
             (((1,), (0,)), ((), ())),
@@ -280,13 +291,14 @@ def pv_fused(probs, v_planes, v_scale, v_offset, kv_out, lut, dcfg,
     K = 2 ** bits
     J = kv_out.shape[-2] if kv_out is not None else 0
     sparse = dcfg.include_sparse and J > 0
+    hg = dcfg.head_group
     if not sparse:
-        kv_out = jnp.zeros((Hkv, 8, Tc), jnp.float32)
+        kv_out = jnp.zeros((Hkv // hg, 8, Tc), jnp.float32)
         J = 8
 
     kern = functools.partial(
         _pv_kernel, bits=bits, D=D, BT=BT, K=K, sparse=sparse,
-        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16,
+        spk=dcfg.slots_per_kind, dot_bf16=dcfg.dot_bf16, hg=hg,
     )
     grid = (Hkv, Tc // BT)
     return pl.pallas_call(
@@ -297,7 +309,7 @@ def pv_fused(probs, v_planes, v_scale, v_offset, kv_out, lut, dcfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bits, BT // 32, D), lambda h, t: (h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J, BT), lambda h, t: (h, 0, t),
+            pl.BlockSpec((1, J, BT), lambda h, t, _hg=hg: (h // _hg, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT), lambda h, t: (0, t),
                          memory_space=pltpu.VMEM),

@@ -106,16 +106,22 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int,
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
-def _outlier_m(ow, D: int, BT: int, ct=jnp.float32):
+def _outlier_m(ow, D: int, BT: int, ct=jnp.float32, hg: int = 1, hsel=None):
     """(J, BT) encoded outlier words -> dense (BT, D) addend (pre-RoPE /
     raw-value space) in ``ct``. One compare + convert + fma per slot per
-    element."""
+    element. With head grouping (hg > 1) the tile is shared by ``hg`` heads:
+    slots whose 2-bit head field != ``hsel`` contribute zero (the masking
+    runs on the small (BT, J) tile, not the (BT, D) addend)."""
     J = ow.shape[0]
     f32 = ct == jnp.float32
     w = jnp.transpose(ow)  # (BT, J)
     u = pltpu.bitcast(w, jnp.uint32)
     oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
-    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFF80), jnp.float32).astype(ct)
+    ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFE00), jnp.float32)
+    if hg > 1:
+        hig = ((u >> 7) & jnp.uint32(0x3)).astype(jnp.int32)
+        ov = jnp.where(hig == hsel, ov, 0.0)
+    ov = ov.astype(ct)
     M = jnp.zeros((BT, D), ct)
     if f32:
         iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
@@ -138,7 +144,7 @@ def _outlier_m(ow, D: int, BT: int, ct=jnp.float32):
 
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
-                  scaling, window, sparse, spk, J, dot_bf16, nt):
+                  scaling, window, sparse, spk, J, dot_bf16, nt, hg):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
      ksink_ref, vsink_ref, klut_ref, vlut_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
@@ -178,8 +184,9 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
     kd = _unpack_dequant(kwords, klut, bits, D, BT, ct)  # (BT, D)
     kd = kd * krng_ref[0, 0].astype(ct) + koff_ref[0, 0].astype(ct)
+    hsel = h % hg if hg > 1 else None
     if sparse:
-        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT, ct)
+        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT, ct, hg, hsel)
     k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
     kx = kd * cos + k_rot * sin
 
@@ -240,7 +247,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     )  # (G, D)
     pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
     if sparse:
-        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT, ct)
+        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT, ct, hg, hsel)
         pv += jax.lax.dot_general(
             p.astype(ct), Mv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -257,7 +264,7 @@ def flash_decode(
     q_rot,      # (B, Hkv, G, D) fp32 query, roped at each sample's position
     k_planes,   # (L, B, Hkv, bits, TW, D) int32
     v_planes,   # (L, B, Hkv, bits, TW, D) int32
-    kv_out,     # (L, B, Hkv, J, Tc) fp32 merged encoded outlier words
+    kv_out,     # (L, B, n_groups, J, Tc) fp32 merged encoded outlier words
     k_range,    # (L, Hkv, D) fp32
     k_offset,   # (L, Hkv, D) fp32
     v_scale,    # (L, B, Tc) fp32
@@ -286,11 +293,12 @@ def flash_decode(
     sparse = bool(dcfg.include_sparse)
     K = 2 ** bits
 
+    hg = dcfg.head_group
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, G=G, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
-        J=J, dot_bf16=dcfg.dot_bf16, nt=nt,
+        J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg,
     )
     grid = (B, nt, Hkv)
 
@@ -310,8 +318,10 @@ def flash_decode(
             pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
                          im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
                          memory_space=pltpu.VMEM),
+            # the outlier tile is per head GROUP: heads of one group index
+            # the same block (shared slot budget, 1/hg the bytes)
             pl.BlockSpec((1, 1, 1, J, BT),
-                         im(lambda li, b, t, h: (li, b, h, 0, t)),
+                         im(lambda li, b, t, h: (li, b, h // hg, 0, t)),
                          memory_space=pltpu.VMEM),
             # singleton sublane axes so the (sublane, lane) block dims equal
             # the array dims (Mosaic tile rule for last-two dims)

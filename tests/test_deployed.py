@@ -285,15 +285,21 @@ class TestDecodeEquivalence:
         )
 
     def test_cache_bytes_ratio(self):
+        # per-head tiles (head_group=1): one 8-slot fp32 tile per head is
+        # 512B/token vs the reference's global 336B rows -> ~3.98x
         dcfg = DeployConfig.create(
             bits=3, n_kv_heads=32, d_head=128, max_len=2**20, sink=5,
         )
         acct = cache_bytes(dcfg, n_layers=32, batch=1)
-        # paper: 4.8x at 3-bit + 1% outliers with global 42-slot rows
-        # (lwm/README.md:5). Our per-(token,head) budget costs 512B/token
-        # (one 8-slot fp32 tile per head) vs the reference's 336B -> 3.99x.
         assert acct["ratio"] > 3.9, acct
-        assert acct["fp16_baseline"] == 2 * 32 * 4096 * 2**20 * 2
+        # 4-head groups cut outliers to 128B/token: beats the reference's
+        # 4.8x claim at 3-bit (lwm/README.md:5)
+        dcfg4 = DeployConfig.create(
+            bits=3, n_kv_heads=32, d_head=128, max_len=2**20, sink=5,
+            head_group=4,
+        )
+        acct4 = cache_bytes(dcfg4, n_layers=32, batch=1)
+        assert acct4["ratio"] > 4.8, acct4
 
 
 class TestOutlierAddend:
@@ -310,7 +316,7 @@ class TestOutlierAddend:
 
         from kvquant_tpu.ops.packing import decode_outlier_words
         k_part = cache.kv_out[:, :, : dcfg.slots_per_kind]
-        got = deployed._outlier_addend(k_part, DH)
+        got = deployed._outlier_addend(k_part, dcfg)
         vals, idx = decode_outlier_words(k_part)
         ov = np.asarray(vals)
         oi = np.asarray(idx)

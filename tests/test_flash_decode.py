@@ -176,6 +176,74 @@ def test_flash_per_sample_positions():
     )
 
 
+@pytest.mark.parametrize("hg", [2, 4])
+def test_flash_head_group_matches_xla(hg):
+    """Grouped outlier tiles (hg kv heads share one 8-slot tile, 9-bit
+    head|dim index): flash and XLA paths must still agree."""
+    cfg = TINY_LLAMA  # 4 kv heads
+    params, dq, _ = _setup(cfg)
+
+    def mk(kernel):
+        return DeployConfig.create(
+            bits=3, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+            max_len=69, sink=5, kernel=kernel, dot_bf16=False,
+            head_group=hg,
+        )
+
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (1, 21), 0, cfg.vocab_size)
+    cache, _ = _run_decode(params, cfg, mk("xla"), dq, tokens[:, :20])
+
+    def one(kernel):
+        _, logits = engine.decode_step(
+            params, cfg, mk(kernel), dq, cache, tokens[:, 20], jnp.int32(20)
+        )
+        return np.asarray(logits)
+
+    np.testing.assert_allclose(one("flash"), one("xla"), atol=2e-4, rtol=1e-4)
+
+
+def test_head_group_compression_ratio():
+    """head_group=4 must push the 3-bit cache below the reference's 4.8x
+    claim territory (VERDICT round-1 item 2: >= 4.6x; reference
+    lwm/README.md:5)."""
+    from kvquant_tpu.cache import cache_bytes
+
+    dcfg = DeployConfig.create(
+        bits=3, n_kv_heads=16, d_head=128, max_len=32768 + 21, sink=5,
+        head_group=4,
+    )
+    acct = cache_bytes(dcfg, n_layers=8, batch=1)
+    assert acct["ratio"] >= 4.6, acct
+    # and per-(token, layer) outlier bytes now sit BELOW the reference's
+    # global 42-slot rows (42 fp16 vals + 42 int32 idx ≈ 252B)
+    per_token = acct["outliers"] / (8 * dcfg.cache_tokens)
+    assert per_token <= 252, per_token
+
+
+def test_flash_bf16_compute_path():
+    """dot_bf16=True switches all in-kernel elementwise work to bf16 (the
+    arithmetic mux / relu-one-hot variants) — must agree with the fp32
+    kernel to bf16 tolerance on a single step from a warm cache."""
+    cfg = TINY_LLAMA
+    params, dq, mk = _setup(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 21), 0, cfg.vocab_size)
+    cache, _ = _run_decode(params, cfg, mk("xla"), dq, tokens[:, :20])
+
+    import dataclasses
+
+    def one(dcfg):
+        _, logits = engine.decode_step(
+            params, cfg, dcfg, dq, cache, tokens[:, 20], jnp.int32(20)
+        )
+        return np.asarray(logits)
+
+    ref = one(mk("flash"))
+    got = one(dataclasses.replace(mk("flash"), dot_bf16=True))
+    # bf16 relative error ~2^-8 through a couple of layers
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
+    assert np.argmax(got) == np.argmax(ref)
+
+
 def test_flash_no_sparse_no_sink():
     cfg = TINY_LLAMA
     params, dq, mk = _setup(cfg)

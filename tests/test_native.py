@@ -40,7 +40,8 @@ def test_outlier_words_match_jax():
 
     v2, i2 = native.decode_outliers(got)
     np.testing.assert_array_equal(i2, idx)
-    np.testing.assert_allclose(v2, vals, atol=1e-4)
+    # 9-bit index field steals 9 mantissa bits: ~2^-14 relative
+    np.testing.assert_allclose(v2, vals, rtol=3e-4, atol=1e-6)
 
 
 def test_native_lib_builds():
