@@ -641,6 +641,26 @@ def block_attention(
     q_rot = q_rot.transpose(0, 2, 3, 1, 4)  # (B,Hkv,G,Tq_all,Dh)
     inv = 1.0 / (Dh**0.5)
 
+    if dcfg.kernel == "flash":
+        # blockwise online-softmax kernel: per-row causal masking happens
+        # in-kernel and nothing of O(Tq x Tc) ever materializes — this is
+        # what makes quantized chunked prefill viable at >=256K prompts
+        from .pallas.flash_decode import flash_attention
+
+        qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)
+        pos_first = jnp.broadcast_to(positions[0], (B,))
+        out = flash_attention(
+            qf, new_cache.k_planes[None], new_cache.v_planes[None],
+            new_cache.kv_out[None], lq.k_range[None], lq.k_offset[None],
+            new_cache.v_scale[None], new_cache.v_offset[None],
+            new_cache.k_sink[None], new_cache.v_sink[None],
+            lq.k_lut_dec[None], lq.v_lut_dec[None],
+            jnp.int32(0), pos_first, dcfg, mcfg,
+            Tq=Tq_all, block_tokens=1024,
+        ).reshape(B, Hkv, G, Tq_all, Dh)
+        out = out.transpose(0, 3, 1, 2, 4).reshape(B, Tq_all, Hkv * G * Dh)
+        return new_cache, out
+
     if dcfg.kernel == "pallas":
         from .pallas import qk_fused
 

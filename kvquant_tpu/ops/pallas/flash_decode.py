@@ -143,7 +143,7 @@ def _outlier_m(ow, D: int, BT: int, ct=jnp.float32, hg: int = 1, hsel=None):
     return M
 
 
-def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
+def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
      ksink_ref, vsink_ref, klut_ref, vlut_ref,
@@ -152,6 +152,8 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     b = pl.program_id(0)
     t = pl.program_id(1)
     h = pl.program_id(2)
+    # Q query rows, ordered g-major over (G, Tq): row r's absolute position
+    # is pos_ref[b] + r % Tq (Tq == 1 for decode — all rows share pos)
     pos = pos_ref[b]
     half = D // 2
     inv = 1.0 / (D ** 0.5)
@@ -167,15 +169,21 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
         c, s = jnp.cos(ang), jnp.sin(ang)
         cs_ref[0] = jnp.concatenate([c, c], axis=1).astype(cs_ref.dtype)
         cs_ref[1] = jnp.concatenate([s, s], axis=1).astype(cs_ref.dtype)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 1) + t * BT
-        valid = idx <= pos - S
+        idx = jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 1) + t * BT
+        if Tq == 1:
+            rowpos = pos
+        else:
+            rowpos = pos + (
+                jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 0) % Tq
+            )
+        valid = idx <= rowpos - S
         if window is not None:
-            valid &= (idx + S) > pos - window
+            valid &= (idx + S) > rowpos - window
         mask_ref[...] = jnp.where(valid, 0.0, NEG)
 
     cos = cs_ref[0]  # stored in ct already (scratch dtype matches)
     sin = cs_ref[1]
-    q = q_ref[0, h]  # (G, D) fp32, already roped at the query position
+    q = q_ref[0, h]  # (Q, D) fp32, already roped at each row's position
 
     # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
     # all (BT, D) elementwise work runs in ``ct`` (bf16 by default — the
@@ -193,8 +201,8 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     s_blk = jax.lax.dot_general(
         q.astype(ct), kx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * inv  # (G, BT)
-    s_blk = s_blk + mask_ref[0:1, :]
+    ) * inv  # (Q, BT)
+    s_blk = s_blk + mask_ref[...]
 
     # ---- t == 0: initialize online-softmax state from the sink prefix ----
     @pl.when(t == 0)
@@ -204,13 +212,14 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
             ss = jax.lax.dot_general(
                 q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * inv  # (G, S)
-            sidx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-            svalid = sidx <= pos
+            ) * inv  # (Q, S)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+            rp = pos + jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0) % Tq
+            svalid = sidx <= rp
             if window is not None:
-                svalid &= sidx > pos - window
+                svalid &= sidx > rp - window
             ss = jnp.where(svalid, ss, NEG)
-            m0 = jnp.max(ss, axis=-1, keepdims=True)  # (G, 1)
+            m0 = jnp.max(ss, axis=-1, keepdims=True)  # (Q, 1)
             p0 = jnp.exp(ss - m0)
             p0 = jnp.where(svalid, p0, 0.0)
             l0 = jnp.sum(p0, axis=-1, keepdims=True)
@@ -218,23 +227,23 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
                 p0.astype(ct), vsink_ref[0, 0, 0].astype(ct),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (G, D)
+            )  # (Q, D)
         else:
-            m0 = jnp.full((G, 1), NEG, jnp.float32)
-            l0 = jnp.zeros((G, 1), jnp.float32)
-            acc0 = jnp.zeros((G, D), jnp.float32)
-        m_ref[h] = jnp.broadcast_to(m0, (G, 128))
-        l_ref[h] = jnp.broadcast_to(l0, (G, 128))
+            m0 = jnp.full((Q, 1), NEG, jnp.float32)
+            l0 = jnp.zeros((Q, 1), jnp.float32)
+            acc0 = jnp.zeros((Q, D), jnp.float32)
+        m_ref[h] = jnp.broadcast_to(m0, (Q, 128))
+        l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
         out_ref[0, h] = acc0
 
     # ---- online softmax update ----
-    m_old = m_ref[h][:, :1]  # (G, 1)
+    m_old = m_ref[h][:, :1]  # (Q, 1)
     m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(s_blk - m_new)  # (G, BT); masked lanes exp(NEG - m) == 0
+    p = jnp.exp(s_blk - m_new)  # (Q, BT); masked lanes exp(NEG - m) == 0
     l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[h] = jnp.broadcast_to(m_new, (G, 128))
-    l_ref[h] = jnp.broadcast_to(l_new, (G, 128))
+    m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
+    l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
 
     # ---- V: unpack + dequant + outliers, score.V ----
     vwords = vp_ref[0, 0, 0].astype(jnp.uint32)
@@ -244,7 +253,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
     pv = jax.lax.dot_general(
         ps.astype(ct), vd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (G, D)
+    )  # (Q, D)
     pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
     if sparse:
         Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT, ct, hg, hsel)
@@ -260,8 +269,8 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, G, Hkv, theta,
         out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
 
 
-def flash_decode(
-    q_rot,      # (B, Hkv, G, D) fp32 query, roped at each sample's position
+def flash_attention(
+    q_rot,      # (B, Hkv, Q, D) fp32 queries, roped at each row's position
     k_planes,   # (L, B, Hkv, bits, TW, D) int32
     v_planes,   # (L, B, Hkv, bits, TW, D) int32
     kv_out,     # (L, B, n_groups, J, Tc) fp32 merged encoded outlier words
@@ -274,15 +283,21 @@ def flash_decode(
     k_lut,      # (L, 2**bits) fp32 dequant LUT
     v_lut,      # (L, 2**bits) fp32
     li,         # scalar int32 layer index
-    pos,        # (B,) int32 per-sample absolute position being decoded
+    pos,        # (B,) int32 absolute position of the FIRST query row
     dcfg,
     mcfg,
+    Tq: int = 1,  # query tokens per head-group row block: Q = G * Tq, rows
+                  # g-major, row r at position pos + r % Tq
     block_tokens: int = 2048,
 ):
-    """Full attention over sink + packed cache for one layer/one token.
-    Returns (B, Hkv, G, D) fp32. Cache arrays stay (L, ...); the layer is
+    """Single-pass online-softmax attention over sink + packed cache for
+    one layer. Tq == 1 is the decode step; Tq > 1 is blockwise quantized
+    prefill (each query row masked to its own position — nothing O(Tq*Tc)
+    ever materializes, unlike ops/deployed.block_attention's XLA path).
+    Returns (B, Hkv, Q, D) fp32. Cache arrays stay (L, ...); the layer is
     selected by scalar-prefetched index maps — no caller-side slicing."""
-    B, Hkv, G, D = q_rot.shape
+    B, Hkv, Q, D = q_rot.shape
+    assert Q % Tq == 0
     bits = dcfg.bits
     TW = k_planes.shape[-2]
     Tc = TW * 32
@@ -295,7 +310,7 @@ def flash_decode(
 
     hg = dcfg.head_group
     kern = functools.partial(
-        _flash_kernel, bits=bits, D=D, BT=BT, S=S, G=G, Hkv=Hkv,
+        _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=Tq, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg,
@@ -310,7 +325,7 @@ def flash_decode(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hkv, G, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
                          im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
@@ -345,19 +360,19 @@ def flash_decode(
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, G, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+            (1, Hkv, Q, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, G, 128), jnp.float32),  # m
-            pltpu.VMEM((Hkv, G, 128), jnp.float32),  # l
+            pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # m
+            pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # l
             # cos/sin in the compute dtype (bf16 halves both the scratch
             # footprint and the per-head multiply cost)
             pltpu.VMEM(
                 (2, BT, D),
                 jnp.bfloat16 if dcfg.dot_bf16 else jnp.float32,
             ),
-            pltpu.VMEM((8, BT), jnp.float32),        # additive mask
+            pltpu.VMEM((Q, BT), jnp.float32),        # additive mask
         ],
     )
 
@@ -369,7 +384,7 @@ def flash_decode(
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Q, D), jnp.float32),
         interpret=_interpret(),
     )(
         jnp.reshape(jnp.asarray(li, jnp.int32), (1,)),
@@ -386,4 +401,15 @@ def flash_decode(
         v_sink.astype(jnp.float32),
         k_lut.astype(jnp.float32)[:, None, :],
         v_lut.astype(jnp.float32)[:, None, :],
+    )
+
+
+def flash_decode(q_rot, k_planes, v_planes, kv_out, k_range, k_offset,
+                 v_scale, v_offset, k_sink, v_sink, k_lut, v_lut, li, pos,
+                 dcfg, mcfg, block_tokens: int = 2048):
+    """Decode-step alias: one token per sequence (Tq=1, Q=G rows)."""
+    return flash_attention(
+        q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale,
+        v_offset, k_sink, v_sink, k_lut, v_lut, li, pos, dcfg, mcfg,
+        Tq=1, block_tokens=block_tokens,
     )

@@ -220,6 +220,34 @@ def test_head_group_compression_ratio():
     assert per_token <= 252, per_token
 
 
+@pytest.mark.parametrize("cfg", [TINY_LLAMA, TINY_GQA], ids=["mha", "gqa"])
+def test_flash_block_prefill_matches_xla(cfg):
+    """Blockwise quantized prefill through the flash kernel (per-row causal
+    masking in-kernel) must match block_attention's XLA path."""
+    params, dq, mk = _setup(cfg, max_len=300)
+    tokens = jax.random.randint(jax.random.PRNGKey(11), (2, 200), 0, cfg.vocab_size)
+
+    def run(kernel):
+        dcfg = mk(kernel)
+        cache = create_cache(dcfg, cfg.n_layers, 2)
+        cache, logits = engine.prefill_quantized(
+            params, cfg, dcfg, dq, cache, tokens, chunk=128
+        )
+        return cache, np.asarray(logits)
+
+    cache_x, lx = run("xla")
+    cache_f, lf = run("flash")
+    # later chunks' projections depend on earlier chunks' attention output,
+    # so caches agree only to trajectory tolerance (codes are robust)
+    np.testing.assert_array_equal(
+        np.asarray(cache_x.k_planes), np.asarray(cache_f.k_planes)
+    )
+    diff = np.abs(lf - lx)
+    assert np.quantile(diff, 0.5) < 5e-3 and diff.max() < 0.25, (
+        np.quantile(diff, 0.5), diff.max()
+    )
+
+
 def test_flash_bf16_compute_path():
     """dot_bf16=True switches all in-kernel elementwise work to bf16 (the
     arithmetic mux / relu-one-hot variants) — must agree with the fp32
