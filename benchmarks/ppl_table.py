@@ -1,0 +1,107 @@
+"""Per-round accuracy table: fp16 vs nuq{4,3,2} perplexity on the trained
+toy checkpoint (artifacts/toy_model.npz).
+
+The reference's core evidence is its wikitext-2 ppl tables
+(lwm/README.md:13-16, quant/README.md:62-69: Δppl ≤0.05 @nuq4-1%,
+~0.07-0.35 @nuq3, ~0.3-1.9 @nuq2). Zero egress means no wikitext/Llama
+here, so the same protocol runs on a synthetic bigram language with a KNOWN
+entropy floor and a small LLaMA trained to near that floor
+(utils/toymodel.py) — the quantization ppl deltas become a tracked
+regression number instead of an untested claim (tests/test_accuracy_gate.py
+gates on them every run).
+
+Full pipeline per bit width: Fisher → Fisher-weighted calibration →
+simulated ppl → deployed (packed-cache) ppl oracle.
+
+  python benchmarks/ppl_table.py [--fast] [--refresh-artifacts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from kvquant_tpu import engine
+    from kvquant_tpu.cache import DeployConfig, deployed_from_quantizers
+    from kvquant_tpu.evals import perplexity
+    from kvquant_tpu.fisher.fisher import fisher_info
+    from kvquant_tpu.models import simquant_from_quantizers
+    from kvquant_tpu.quant.artifacts import save_quantizers
+    from kvquant_tpu.quant.calibration import (
+        collect_kv_activations, fit_quantizers,
+    )
+    from kvquant_tpu.utils.toymodel import cached_toy_model, TOY_CFG
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fast", action="store_true",
+                    help="fewer eval windows / kmeans iters")
+    ap.add_argument("--refresh-artifacts", action="store_true",
+                    help="rewrite artifacts/toy_quantizers_{bits}bit.npz")
+    ap.add_argument("--deployed-bits", type=int, default=3,
+                    help="also run the deployed packed-cache ppl oracle at "
+                         "this bit width (0 to skip)")
+    args = ap.parse_args()
+
+    cfg = TOY_CFG
+    params, lm, loss = cached_toy_model()
+    print(f"toy model: train loss {loss:.3f}, "
+          f"bigram entropy floor ppl {lm.ideal_ppl:.2f}")
+
+    n_eval = 4 if args.fast else 8
+    eval_toks = lm.sample(n_eval, 256, seed=10_001)
+    cal_toks = lm.sample(4, 256, seed=20_002)
+
+    ppl_fp16 = perplexity(params, cfg, eval_toks)
+    print(f"fp16      ppl {ppl_fp16:.4f}")
+
+    fisher_k, fisher_v = fisher_info(params, cfg, [cal_toks])
+    k_acts, v_acts = collect_kv_activations(params, cfg, [cal_toks])
+
+    rows = {"fp16": ppl_fp16}
+    for bits in (4, 3, 2):
+        qs = fit_quantizers(
+            k_acts, v_acts, bits=bits, sparsity_threshold=0.99,
+            cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+            kmeans_iters=10 if args.fast else 30,
+            fisher_k=fisher_k, fisher_v=fisher_v,
+        )
+        if args.refresh_artifacts:
+            save_quantizers(f"artifacts/toy_quantizers_{bits}bit.npz", qs)
+        sq = simquant_from_quantizers(
+            qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads
+        )
+        ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+        rows[f"nuq{bits}"] = ppl
+        print(f"nuq{bits}-1%%  ppl {ppl:.4f}  (delta {ppl - ppl_fp16:+.4f})")
+
+        if bits == args.deployed_bits:
+            dcfg = DeployConfig.create(
+                bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+                max_len=261, sink=5, head_group=4,
+            )
+            dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+            dep = engine.deployed_ppl(
+                params, cfg, dcfg, dq, eval_toks[:2]
+            )
+            rows[f"deployed_nuq{bits}"] = dep
+            print(f"deployed nuq{bits} (packed cache, head_group=4) "
+                  f"ppl {dep:.4f}")
+
+    print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,6 @@ to real checkpoints whenever they are available locally.
 from __future__ import annotations
 
 import os
-import pickle
 
 import numpy as np
 import jax
@@ -86,21 +85,53 @@ def train_toy_model(
     return params, lm, float(loss)
 
 
-def cached_toy_model(path: str = "artifacts/toy_model.pkl", **kw):
+def _flatten(params, prefix=""):
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    out = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def save_toy_checkpoint(path: str, params, loss: float, seed: int):
+    """npz checkpoint (slash-joined pytree paths) — same no-pickle policy as
+    quant/artifacts.py."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path, __loss__=np.float32(loss), __seed__=np.int32(seed),
+        **_flatten(params),
+    )
+
+
+def load_toy_checkpoint(path: str):
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files if not k.startswith("__")}
+        loss = float(z["__loss__"])
+        seed = int(z["__seed__"])
+    return _unflatten(flat), loss, seed
+
+
+def cached_toy_model(path: str = "artifacts/toy_model.npz", **kw):
     """Train once, cache to disk (params + final loss); reload thereafter."""
     cfg = kw.pop("cfg", TOY_CFG)
     if os.path.exists(path):
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
-        params = jax.tree.map(jnp.asarray, blob["params"])
-        return params, BigramLM(cfg.vocab_size, seed=blob["seed"]), blob["loss"]
+        params, loss, seed = load_toy_checkpoint(path)
+        return params, BigramLM(cfg.vocab_size, seed=seed), loss
     seed = kw.get("seed", 0)
     params, lm, loss = train_toy_model(cfg, **kw)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(
-            {"params": jax.tree.map(np.asarray, params), "loss": loss,
-             "seed": seed},
-            f,
-        )
+    save_toy_checkpoint(path, jax.tree.map(np.asarray, params), loss, seed)
     return params, lm, loss
