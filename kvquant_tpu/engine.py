@@ -386,6 +386,64 @@ def deployed_ppl(
 # ---------------------------------------------------------------------------
 
 
+def prefill_chunk(
+    params,
+    cfg: ModelConfig,
+    dcfg: DeployConfig,
+    dq: DeployedQuant,
+    cache: KVCache,
+    tok_blk,  # (B, Tq) int32: chunk tokens (+ leading sink rows if sink_fill)
+    pos0,  # int32 absolute position of the chunk's first NON-SINK token
+    sink_fill: bool,
+):
+    """One chunk of quantized-trajectory prefill: embed, run every layer's
+    block_attention (append + attend over the already-quantized cache), and
+    return (cache, logits (B, Tq, V)). Jit-friendly building block — the
+    serving engine admits long prompts one chunk at a time with this so
+    active slots never stall behind a whole-prompt prefill."""
+    from .models.moe import MoEConfig, split_qkv, moe_ffn
+
+    is_moe = isinstance(cfg, MoEConfig)
+    H, Dh = cfg.n_heads, cfg.d_head
+
+    x = jnp.take(params["embed"], tok_blk, axis=0)  # (B, Tq_all, D)
+    arrays, length = _split_cache(cache)
+
+    def layer_fn(x, scanned):
+        lp = scanned["p"]
+        cache_l = _merge_cache(scanned["c"], length)
+        lq = scanned["q"]
+        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        if is_moe:
+            qp, k, v = split_qkv(h @ lp["w_qkv"], cfg)
+            qp = qp.reshape(*x.shape[:2], H, Dh)
+        else:
+            qp = (h @ lp["wq"]).reshape(*x.shape[:2], H, Dh)
+            k = h @ lp["wk"]
+            v = h @ lp["wv"]
+        cache_l, attn = deployed.block_attention(
+            cache_l, lq, dcfg, cfg, qp, k, v, pos0,
+            sink_fill=sink_fill,
+        )
+        x = x + (attn.astype(x.dtype) @ lp["wo"])
+        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        if is_moe:
+            x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
+        else:
+            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        new_arrays, new_len = _split_cache(cache_l)
+        return x, (new_arrays, new_len)
+
+    scanned = {"p": params["layers"], "c": arrays, "q": dq}
+    x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+    return _merge_cache(new_arrays, new_lens[0]), logits
+
+
 def prefill_quantized(
     params,
     cfg: ModelConfig,
@@ -399,9 +457,6 @@ def prefill_quantized(
     (cache, logits_last (B, V) fp32). Pad tokens beyond T0 (to reach chunk
     alignment) are packed but masked from all real queries and overwritten
     by subsequent decode steps."""
-    from .models.moe import MoEConfig, split_qkv, moe_ffn
-
-    is_moe = isinstance(cfg, MoEConfig)
     B, T0 = tokens.shape
     S = dcfg.sink
     assert T0 > S, "prompt must extend beyond the sink prefix"
@@ -419,46 +474,11 @@ def prefill_quantized(
     pad = n_chunks * chunk - n_pack
     toks = jnp.pad(tokens, ((0, 0), (0, pad)))
 
-    H, Dh = cfg.n_heads, cfg.d_head
-
     @partial(jax.jit, static_argnames=("sink_fill",))
     def chunk_step(params, dq, cache, tok_blk, pos0, sink_fill):
-        x = jnp.take(params["embed"], tok_blk, axis=0)  # (B, Tq_all, D)
-        arrays, length = _split_cache(cache)
-
-        def layer_fn(x, scanned):
-            lp = scanned["p"]
-            cache_l = _merge_cache(scanned["c"], length)
-            lq = scanned["q"]
-            h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-            if is_moe:
-                qp, k, v = split_qkv(h @ lp["w_qkv"], cfg)
-                qp = qp.reshape(*x.shape[:2], H, Dh)
-            else:
-                qp = (h @ lp["wq"]).reshape(*x.shape[:2], H, Dh)
-                k = h @ lp["wk"]
-                v = h @ lp["wv"]
-            cache_l, attn = deployed.block_attention(
-                cache_l, lq, dcfg, cfg, qp, k, v, pos0,
-                sink_fill=sink_fill,
-            )
-            x = x + (attn.astype(x.dtype) @ lp["wo"])
-            h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-            if is_moe:
-                x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
-            else:
-                x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-            new_arrays, new_len = _split_cache(cache_l)
-            return x, (new_arrays, new_len)
-
-        scanned = {"p": params["layers"], "c": arrays, "q": dq}
-        x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
-        x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
-        head = params.get("lm_head")
-        if head is None:
-            head = params["embed"].T
-        logits = (x @ head).astype(jnp.float32)
-        return _merge_cache(new_arrays, new_lens[0]), logits
+        return prefill_chunk(
+            params, cfg, dcfg, dq, cache, tok_blk, pos0, sink_fill
+        )
 
     # chunk 0 carries the sink prefix
     cache, logits = chunk_step(
