@@ -51,6 +51,8 @@ def main():
     with_fp16 = os.environ.get("BENCH_FP16", "1") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 1))
     head_group = int(os.environ.get("BENCH_HEADGROUP", 4))
+    dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
+    blk = int(os.environ.get("BENCH_BT", 2048))
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -76,8 +78,18 @@ def main():
     dcfg = DeployConfig.create(
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
-        include_sparse=sparse, head_group=head_group,
+        include_sparse=sparse, head_group=head_group, dot_bf16=dot_bf16,
     )
+    if kernel == "flash":
+        import kvquant_tpu.ops.pallas.flash_decode as _fd
+        import kvquant_tpu.ops.deployed as _dep
+        # default block-tokens knob for the sweep harness
+        _orig = _fd.flash_attention
+        def _fa(*a, **kw):
+            kw.setdefault("block_tokens", blk)
+            return _orig(*a, **kw)
+        _fd.flash_attention = _fa
+        _fd.flash_decode.__defaults__ = (blk,)
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 
     # The decode loop must live ON DEVICE (lax.scan): per-dispatch round

@@ -72,7 +72,7 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
     def layer_fn(x, scanned):
         lp = scanned["p"]
         kc, vc = scanned["k"], scanned["v"]
-        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_attn"], cfg)
         q = (h @ lp["wq"]).reshape(B, Hkv, G, Dh).astype(jnp.float32)
         k = (h @ lp["wk"]).reshape(B, Hkv, Dh).astype(jnp.float32)
         v = (h @ lp["wv"]).reshape(B, Hkv, Dh)
@@ -98,14 +98,14 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
             preferred_element_type=jnp.float32,
         )
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
-        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_mlp"], cfg)
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         return x, (kc, vc)
 
     scanned = {"p": params["layers"], "k": cache.k, "v": cache.v}
     x, (kc, vc) = jax.lax.scan(layer_fn, x, scanned)
 
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

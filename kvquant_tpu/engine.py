@@ -130,7 +130,7 @@ def decode_step(
                  for k, v in arrs.items()}
         cache_l = _merge_cache(arr_l, length)
 
-        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_attn"], cfg)
         if is_moe:
             q, k, v = split_qkv(h @ lp["w_qkv"], cfg)
             q = q.reshape(B, H, Dh)
@@ -144,7 +144,7 @@ def decode_step(
         )
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
 
-        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_mlp"], cfg)
         if is_moe:
             x = x + moe_ffn(h[:, None], lp, cfg)[:, 0].astype(x.dtype)
         else:
@@ -165,7 +165,7 @@ def decode_step(
         layer_fn, (x, arrays, length), scanned
     )
 
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
@@ -209,7 +209,7 @@ def _decode_step_flash(
         x, arrs = carry
         lp, lq, li = scanned["p"], scanned["q"], scanned["i"]
 
-        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_attn"], cfg)
         if is_moe:
             q, k, v = split_qkv(h @ lp["w_qkv"], cfg)
             q = q.reshape(B, H, Dh)
@@ -234,7 +234,7 @@ def _decode_step_flash(
         )  # (B, Hkv, G, Dh)
 
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
-        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_mlp"], cfg)
         if is_moe:
             x = x + moe_ffn(h[:, None], lp, cfg)[:, 0].astype(x.dtype)
         else:
@@ -247,7 +247,7 @@ def _decode_step_flash(
     }
     (x, new_arrays), _ = jax.lax.scan(layer_fn, (x, arrays), scanned)
 
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
@@ -413,7 +413,7 @@ def prefill_chunk(
         lp = scanned["p"]
         cache_l = _merge_cache(scanned["c"], length)
         lq = scanned["q"]
-        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_attn"], cfg)
         if is_moe:
             qp, k, v = split_qkv(h @ lp["w_qkv"], cfg)
             qp = qp.reshape(*x.shape[:2], H, Dh)
@@ -426,7 +426,7 @@ def prefill_chunk(
             sink_fill=sink_fill,
         )
         x = x + (attn.astype(x.dtype) @ lp["wo"])
-        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = llama.norm(x, lp["ln_mlp"], cfg)
         if is_moe:
             x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
         else:
@@ -436,7 +436,7 @@ def prefill_chunk(
 
     scanned = {"p": params["layers"], "c": arrays, "q": dq}
     x, (new_arrays, new_lens) = jax.lax.scan(layer_fn, x, scanned)
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

@@ -28,6 +28,7 @@ class ModelConfig:
     max_seq_len: int = 4096
     tie_embeddings: bool = False
     sliding_window: int | None = None  # Mistral-style local attention
+    norm_type: str = "rms"  # "rms" (LLaMA) or "layernorm" (DBRX, bias-free)
 
     @property
     def kv_hidden(self) -> int:

@@ -83,6 +83,17 @@ def rms_norm(x, w, eps):
     return (xf * scale * w).astype(x.dtype)
 
 
+def norm(x, w, cfg):
+    """Config-dispatched normalization: RMSNorm (LLaMA family) or bias-free
+    LayerNorm (DBRX, modeling_dbrx.py:647-652)."""
+    if cfg.norm_type == "layernorm":
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + cfg.rms_eps) * w).astype(x.dtype)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
 def rope_cos_sin(positions, cfg: ModelConfig, dtype=jnp.float32):
     """cos/sin tables for given positions: (..., d_head). HF rotate-half
     convention: angles for dim pair i repeated at i and i + d_head/2."""
@@ -428,7 +439,7 @@ def forward(
 
     def layer_fn(x, scanned):
         lp = scanned["p"]
-        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = norm(x, lp["ln_attn"], cfg)
         q = h @ lp["wq"]
         k = h @ lp["wk"]
         v = h @ lp["wv"]
@@ -457,7 +468,7 @@ def forward(
         attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
         x = x + attn @ lp["wo"]
 
-        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = norm(x, lp["ln_mlp"], cfg)
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         return x, captured
 
@@ -470,7 +481,7 @@ def forward(
 
     x, (k_acts, v_acts) = jax.lax.scan(layer_fn, x, scanned)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

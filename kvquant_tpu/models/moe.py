@@ -10,11 +10,13 @@ kernels); here the same KVCache/engine machinery applies because the cache
 only sees (k, v) activations regardless of how they were projected.
 
 TPU-first formulation:
-  - experts are computed densely and combined with the (top-k masked)
-    router weights: out = sum_e w_e(x) * expert_e(x). Exact for top-k
-    routing, fully MXU-batched and shardable (experts stack on a leading E
-    axis that maps to an "ep"/"tp" mesh axis); capacity-based dispatch is a
-    serving optimization, not a semantics change.
+  - ffn_mode="dense": every expert computed, combined with the (top-k
+    masked) router weights — exact, fully MXU-batched, fine for small E.
+  - ffn_mode="sparse": GShard-style capacity dispatch (one-hot dispatch /
+    combine einsums — no gather/scatter, which serialize on TPU); expert
+    FLOPs scale with top_k instead of E — the viable mode at DBRX scale
+    (16 experts, top-4 => 4x FLOP cut). Both modes shard experts over the
+    mesh's "tp" axis (expert parallelism).
   - the fused Wqkv matmul stays fused (one MXU call); K/V emerge as static
     slices (reference slicing at simquant_module_quantizer_dbrx.py:602-640).
 """
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from .llama import (
-    rms_norm, rope_cos_sin, apply_rope, _attention,
+    norm, rope_cos_sin, apply_rope, _attention,
     SimQuantParams, simquant_k, simquant_v,
 )
 
@@ -37,6 +39,12 @@ from .llama import (
 class MoEConfig(ModelConfig):
     n_experts: int = 8
     top_k: int = 2
+    # "dense": every expert computed, mask-combined (exact, E/top_k FLOP
+    # waste — fine for tiny E). "sparse": GShard-style capacity dispatch —
+    # expert FLOPs scale with top_k, not E (the only viable mode at DBRX
+    # scale: 16 experts, top-4).
+    ffn_mode: str = "dense"
+    capacity_factor: float = 2.0
 
 
 TINY_MOE = MoEConfig(
@@ -78,8 +86,8 @@ def init_params(key, cfg: MoEConfig, dtype=jnp.bfloat16):
     return params
 
 
-def moe_ffn(h, lp, cfg: MoEConfig):
-    """Top-k gated expert MLP, computed densely and mask-combined."""
+def _router_weights(h, lp, cfg: MoEConfig):
+    """(logits fp32, strict top-k softmax weights (B, T, E))."""
     logits = (h @ lp["w_router"]).astype(jnp.float32)  # (B, T, E)
     # strict top-k mask built from the top_k indices: a >=threshold compare
     # would route through MORE than top_k experts on exact ties
@@ -88,12 +96,60 @@ def moe_ffn(h, lp, cfg: MoEConfig):
         top_idx[..., None] == jnp.arange(logits.shape[-1]), axis=-2
     )  # (B, T, E) bool, exactly top_k True per token
     masked = jnp.where(sel, logits, -jnp.inf)
-    w = jax.nn.softmax(masked, axis=-1).astype(h.dtype)  # (B, T, E)
+    return logits, jax.nn.softmax(masked, axis=-1).astype(h.dtype)
 
+
+def moe_ffn(h, lp, cfg: MoEConfig):
+    """Top-k gated expert MLP; mode per MoEConfig.ffn_mode."""
+    if cfg.ffn_mode == "sparse":
+        return moe_ffn_sparse(h, lp, cfg)
+    _, w = _router_weights(h, lp, cfg)
     gate = jnp.einsum("btd,edf->btef", h, lp["w_gate"])
     up = jnp.einsum("btd,edf->btef", h, lp["w_up"])
     y = jnp.einsum("btef,efd->bted", jax.nn.silu(gate) * up, lp["w_down"])
     return jnp.einsum("bte,bted->btd", w, y)
+
+
+def moe_ffn_sparse(h, lp, cfg: MoEConfig):
+    """Capacity-based sparse dispatch (the GShard/GSpmd einsum pattern —
+    TPU-native: one-hot dispatch/combine contractions on the MXU, zero
+    gather/scatter). Expert matmul FLOPs are tokens*top_k*D*F instead of
+    the dense path's tokens*E*D*F.
+
+    Per-expert capacity C = ceil(N * top_k / E * capacity_factor), clamped
+    to N. Tokens routed past an expert's capacity lose that expert's
+    contribution (their remaining experts' weights are NOT renormalized —
+    matching the standard serving behavior); with C == N (small N, e.g.
+    decode steps, or capacity_factor >= E/top_k) the result is EXACTLY the
+    dense path."""
+    B, T, Dm = h.shape
+    E, K = cfg.n_experts, cfg.top_k
+    N = B * T
+    C = min(N, -(-N * K // E) * max(1, int(round(cfg.capacity_factor))))
+    hf = h.reshape(N, Dm)
+
+    logits, w = _router_weights(h, lp, cfg)
+    w = w.reshape(N, E)
+
+    # rank the (token, expert) assignments per expert by arrival order:
+    # position_in_expert via exclusive cumsum of the routed mask
+    routed = (w > 0).astype(jnp.int32)  # (N, E) exactly K per row
+    pos_in_e = jnp.cumsum(routed, axis=0) - routed  # (N, E) exclusive
+    keep = routed.astype(bool) & (pos_in_e < C)
+
+    # dispatch: (N, E, C) one-hot of each kept token's slot
+    slot_onehot = (
+        pos_in_e[..., None] == jnp.arange(C)
+    ) & keep[..., None]  # (N, E, C)
+    dispatch = slot_onehot.astype(h.dtype)
+    combine = dispatch * w[..., None].astype(h.dtype)  # (N, E, C)
+
+    xe = jnp.einsum("nec,nd->ecd", dispatch, hf)  # (E, C, Dm)
+    gate = jnp.einsum("ecd,edf->ecf", xe, lp["w_gate"])
+    up = jnp.einsum("ecd,edf->ecf", xe, lp["w_up"])
+    ye = jnp.einsum("ecf,efd->ecd", jax.nn.silu(gate) * up, lp["w_down"])
+    out = jnp.einsum("nec,ecd->nd", combine, ye)  # (N, Dm)
+    return out.reshape(B, T, Dm)
 
 
 def split_qkv(y, cfg: MoEConfig):
@@ -131,7 +187,7 @@ def forward(
 
     def layer_fn(x, scanned):
         lp = scanned["p"]
-        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        h = norm(x, lp["ln_attn"], cfg)
         y = h @ lp["w_qkv"]
         q, k, v = split_qkv(y, cfg)
 
@@ -159,7 +215,7 @@ def forward(
         attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
         x = x + attn @ lp["wo"]
 
-        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        h = norm(x, lp["ln_mlp"], cfg)
         x = x + moe_ffn(h, lp, cfg).astype(x.dtype)
         return x, captured
 
@@ -172,7 +228,7 @@ def forward(
 
     x, (k_acts, v_acts) = jax.lax.scan(layer_fn, x, scanned)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

