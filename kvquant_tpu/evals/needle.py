@@ -16,10 +16,34 @@ from dataclasses import dataclass, asdict
 
 import numpy as np
 
-HAYSTACK = (
-    "A quiet morning settled over the town as shopkeepers opened their "
-    "doors and the smell of bread drifted down the street. "
-)
+# Varied filler text (vs the reference's real-text corpus,
+# eval_haystack_pytorch_quant.py:59-121 — zero egress here): a seeded
+# template grammar yields hundreds of distinct sentences, so retrieval is
+# not measured against pathologically repetitive filler (a single repeated
+# sentence overstates accuracy — the needle is the only novel content).
+_SUBJ = ["the ferry", "a carpenter", "the night market", "an old lighthouse",
+         "the orchard", "a traveling violinist", "the tide pool",
+         "the archive", "a beekeeper", "the tram line", "the observatory",
+         "a glassblower"]
+_VERB = ["drifted past", "reopened near", "overlooked", "hummed beside",
+         "sheltered", "wound through", "brightened", "outlasted",
+         "bordered", "echoed across"]
+_OBJ = ["the harbor wall", "a row of plane trees", "the winter fair",
+        "the flooded meadow", "an unused platform", "the chalk cliffs",
+        "a terraced garden", "the printing house", "the reservoir",
+        "a cobbled square"]
+_TAIL = ["before dawn", "after the rains", "through early spring",
+         "for another season", "despite the wind", "until the bells rang",
+         "as the fog lifted", "long after closing"]
+
+
+def haystack_sentence(i: int) -> str:
+    """Deterministic varied filler sentence #i."""
+    r = np.random.default_rng(i * 2654435761 % (2**32))
+    return (f"{_SUBJ[r.integers(len(_SUBJ))]} "
+            f"{_VERB[r.integers(len(_VERB))]} "
+            f"{_OBJ[r.integers(len(_OBJ))]} "
+            f"{_TAIL[r.integers(len(_TAIL))]}. ").capitalize()
 NEEDLE = (
     "The secret ingredient for the winning recipe is {answer}. "
 )
@@ -45,17 +69,31 @@ class NeedleTrial:
 
 def build_needle_prompt(tokenizer, ctx_tokens: int, depth_percent: float,
                         answer: str):
-    hay_ids = tokenizer.encode(HAYSTACK)
     needle_ids = tokenizer.encode(NEEDLE.format(answer=answer))
     q_ids = tokenizer.encode(QUESTION)
 
     budget = ctx_tokens - len(needle_ids) - len(q_ids)
-    n_fill = budget // len(hay_ids)
-    assert n_fill >= 2, "context too small"
-    n_before = int(n_fill * depth_percent / 100.0)
-    ids = (
-        hay_ids * n_before + needle_ids + hay_ids * (n_fill - n_before) + q_ids
-    )
+    fill_ids: list = []
+    sent_ids = []
+    i = 0
+    while True:
+        s = tokenizer.encode(haystack_sentence(i))
+        if len(fill_ids) + len(s) > budget:
+            break
+        fill_ids.extend(s)
+        sent_ids.append(len(s))
+        i += 1
+    assert len(sent_ids) >= 2, "context too small"
+    # insert the needle at the sentence boundary closest to depth_percent
+    n_before_tokens = int(len(fill_ids) * depth_percent / 100.0)
+    cut, acc = 0, 0
+    for n in sent_ids:
+        if acc + n > n_before_tokens:
+            break
+        acc += n
+        cut += 1
+    split = sum(sent_ids[:cut])
+    ids = fill_ids[:split] + needle_ids + fill_ids[split:] + q_ids
     return np.asarray(ids, np.int32)
 
 
