@@ -40,6 +40,12 @@ def main(argv=None):
                     help="cache capacity (default prefill+benchmark+sink)")
     ap.add_argument("--check", action="store_true",
                     help="also compute deployed ppl vs simulated ppl")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed decode "
+                         "loop into DIR (xprof/tensorboard format) and "
+                         "print XLA cost analysis — the reference's "
+                         "torch.profiler surface, deployment/llama.py:"
+                         "205-214")
     args = ap.parse_args(argv)
 
     mesh = common.setup_parallel(args)  # before any other JAX use
@@ -101,6 +107,20 @@ def main(argv=None):
 
     out = decode_loop(params, dq, cache, tok)
     _ = float(out.sum())
+    if args.profile:
+        from ..utils.profiling import trace
+
+        comp = decode_loop.lower(params, dq, cache, tok).compile()
+        ca = comp.cost_analysis()
+        ca = (ca[0] if isinstance(ca, list) and ca else ca) or {}
+        print(f"cost analysis ({steps} steps): "
+              f"bytes={ca.get('bytes accessed', 0)/1e9:.2f}GB "
+              f"flops={ca.get('flops', 0)/1e9:.2f}G "
+              f"transcendentals={ca.get('transcendentals', 0)/1e6:.1f}M")
+        with trace(args.profile):
+            out = decode_loop(params, dq, cache, tok)
+            _ = float(out.sum())
+        print(f"trace written to {args.profile} (if supported by backend)")
     t = time.perf_counter()
     out = decode_loop(params, dq, cache, tok)
     _ = float(out.sum())
