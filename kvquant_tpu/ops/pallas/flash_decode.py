@@ -50,17 +50,14 @@ from .attention import _pick_bt, _interpret, GROUP, WPG
 NEG = -1e30
 
 
-def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int,
-                    ct=jnp.float32):
-    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) dequantized in ``ct``.
+def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
+    """(bits, BT//32, D) uint32 bit-planes -> (BT, D) fp32 via mux tree.
 
     Same reconstruction as ops/pallas/attention.py:_unpack_dequant_block but
-    taking the LUT as a list of scalars (read from an SMEM block). With
-    ct=bfloat16 the mux-tree selects run on bf16 tiles — the kernel is
-    VPU-bound, and 16-bit element ops double the per-cycle lane throughput;
-    bf16 representation error (2^-8 relative) is far below the quantization
-    noise of any supported bit width."""
-    f32 = ct == jnp.float32
+    taking the LUT as a list of scalars (read from an SMEM block). All
+    elementwise work stays fp32: a bf16 variant (arithmetic mux, relu
+    one-hots) measured ~22% SLOWER end-to-end on v5e — the VPU does not run
+    16-bit element ops at 2x, and the extra casts/arith forms cost ops."""
     shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
     groups = []
     for g in range(BT // GROUP):
@@ -69,77 +66,34 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int,
             w = pltpu.repeat(
                 words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
             )
-            bit = (w >> shift) & jnp.uint32(1)
-            # fp32: boolean masks + select tree. bf16: Mosaic cannot relayout
-            # the 32-bit-derived i1 masks for 16-bit selects, so the mux is
-            # arithmetic instead: node = lo + (hi - lo) * m with m in {0, 1}
-            # (cast chain bool -> f32 -> bf16; uint32 -> bf16 is unsupported).
-            masks.append(
-                bit != 0 if f32
-                else (bit != 0).astype(jnp.float32).astype(ct)
-            )
-        if f32:
-            level = list(lut_vals)
-            for b in range(bits):
-                level = [
-                    jnp.where(masks[b], level[2 * i + 1], level[2 * i])
-                    for i in range(len(level) // 2)
-                ]
-        else:
-            # leaf: scalar arithmetic stays f32 (scalar bf16 subf doesn't
-            # legalize); only the broadcast into the mask tensor is ct
+            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
+        level = list(lut_vals)
+        for b in range(bits):
             level = [
-                (
-                    jnp.asarray(lut_vals[2 * i]).astype(ct)
-                    + jnp.asarray(
-                        lut_vals[2 * i + 1] - lut_vals[2 * i]
-                    ).astype(ct) * masks[0]
-                )
-                for i in range(2 ** (bits - 1))
+                jnp.where(masks[b], level[2 * i + 1], level[2 * i])
+                for i in range(len(level) // 2)
             ]
-            for b in range(1, bits):
-                level = [
-                    level[2 * i] + (level[2 * i + 1] - level[2 * i]) * masks[b]
-                    for i in range(len(level) // 2)
-                ]
         groups.append(level[0])
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
-def _outlier_m(ow, D: int, BT: int, ct=jnp.float32, hg: int = 1, hsel=None):
-    """(J, BT) encoded outlier words -> dense (BT, D) addend (pre-RoPE /
-    raw-value space) in ``ct``. One compare + convert + fma per slot per
-    element. With head grouping (hg > 1) the tile is shared by ``hg`` heads:
-    slots whose 2-bit head field != ``hsel`` contribute zero (the masking
-    runs on the small (BT, J) tile, not the (BT, D) addend)."""
+def _outlier_m_group(ow, D: int, BT: int, hg: int):
+    """(J, BT) encoded outlier words of ONE head group -> dense
+    (BT, hg*D) addend over the group's dims (9-bit head<<7|dim index).
+
+    Building the addend once per GROUP (instead of per head with head
+    masking) divides the dominant per-slot one-hot cost by hg: 4 slots over
+    a (BT, 4*128) tile cost the same as 1 slot over (BT, 128)."""
     J = ow.shape[0]
-    f32 = ct == jnp.float32
     w = jnp.transpose(ow)  # (BT, J)
     u = pltpu.bitcast(w, jnp.uint32)
-    oi = (u & jnp.uint32(0x7F)).astype(jnp.int32)
+    oi9 = (u & jnp.uint32(0x1FF)).astype(jnp.int32)
+    col = (oi9 >> 7) * D + (oi9 & 0x7F)  # dense column in group space
     ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFE00), jnp.float32)
-    if hg > 1:
-        hig = ((u >> 7) & jnp.uint32(0x3)).astype(jnp.int32)
-        ov = jnp.where(hig == hsel, ov, 0.0)
-    ov = ov.astype(ct)
-    M = jnp.zeros((BT, D), ct)
-    if f32:
-        iota_d = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
-        for j in range(J):
-            M += ov[:, j:j + 1] * (iota_d == oi[:, j:j + 1]).astype(ct)
-    else:
-        # bf16 equality compares don't legalize on this target: build the
-        # one-hot arithmetically as relu(1 - |iota - dim|), exact for
-        # integer-valued bf16 operands (dims <= 127 are exact in bf16)
-        oi_ct = oi.astype(jnp.float32).astype(ct)
-        iota_d = (
-            jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
-            .astype(jnp.float32).astype(ct)
-        )
-        one = jnp.asarray(1.0, ct)
-        for j in range(J):
-            hit = jnp.maximum(one - jnp.abs(iota_d - oi_ct[:, j:j + 1]), 0)
-            M += ov[:, j:j + 1] * hit
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BT, hg * D), 1)
+    M = jnp.zeros((BT, hg * D), jnp.float32)
+    for j in range(J):
+        M += ov[:, j:j + 1] * (iota == col[:, j:j + 1]).astype(jnp.float32)
     return M
 
 
@@ -151,7 +105,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
 
     b = pl.program_id(0)
     t = pl.program_id(1)
-    h = pl.program_id(2)
+    g = pl.program_id(2)  # head GROUP index; heads g*hg .. g*hg+hg-1
     # Q query rows, ordered g-major over (G, Tq): row r's absolute position
     # is pos_ref[b] + r % Tq (Tq == 1 for decode — all rows share pos)
     pos = pos_ref[b]
@@ -160,15 +114,15 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     ct = jnp.bfloat16 if dot_bf16 else jnp.float32
 
     # ---- per-(b, t) shared state: RoPE tiles + additive validity mask ----
-    @pl.when(h == 0)
+    @pl.when(g == 0)
     def _():
         d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
         tt = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t * BT
         inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
         ang = ((S + tt).astype(jnp.float32) / scaling) * inv_freq
         c, s = jnp.cos(ang), jnp.sin(ang)
-        cs_ref[0] = jnp.concatenate([c, c], axis=1).astype(cs_ref.dtype)
-        cs_ref[1] = jnp.concatenate([s, s], axis=1).astype(cs_ref.dtype)
+        cs_ref[0] = jnp.concatenate([c, c], axis=1)
+        cs_ref[1] = jnp.concatenate([s, s], axis=1)
         idx = jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 1) + t * BT
         if Tq == 1:
             rowpos = pos
@@ -181,92 +135,99 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             valid &= (idx + S) > rowpos - window
         mask_ref[...] = jnp.where(valid, 0.0, NEG)
 
-    cos = cs_ref[0]  # stored in ct already (scratch dtype matches)
+    cos = cs_ref[0]
     sin = cs_ref[1]
-    q = q_ref[0, h]  # (Q, D) fp32, already roped at each row's position
 
-    # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
-    # all (BT, D) elementwise work runs in ``ct`` (bf16 by default — the
-    # kernel is VPU-bound and 16-bit doubles lane throughput)
-    kwords = kp_ref[0, 0, 0].astype(jnp.uint32)
-    klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
-    kd = _unpack_dequant(kwords, klut, bits, D, BT, ct)  # (BT, D)
-    kd = kd * krng_ref[0, 0].astype(ct) + koff_ref[0, 0].astype(ct)
-    hsel = h % hg if hg > 1 else None
+    # group outlier addends built ONCE for all hg heads of this step
     if sparse:
-        kd += _outlier_m(ow_ref[0, 0, 0, :spk], D, BT, ct, hg, hsel)
-    k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
-    kx = kd * cos + k_rot * sin
+        Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
+        Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg)
 
-    s_blk = jax.lax.dot_general(
-        q.astype(ct), kx, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv  # (Q, BT)
-    s_blk = s_blk + mask_ref[...]
+    for j in range(hg):
+        h = g * hg + j
+        q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
 
-    # ---- t == 0: initialize online-softmax state from the sink prefix ----
-    @pl.when(t == 0)
-    def _():
-        if S > 0:
-            ks = ksink_ref[0, 0, 0]  # (S, D) post-RoPE keys
-            ss = jax.lax.dot_general(
-                q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * inv  # (Q, S)
-            sidx = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-            rp = pos + jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0) % Tq
-            svalid = sidx <= rp
-            if window is not None:
-                svalid &= sidx > rp - window
-            ss = jnp.where(svalid, ss, NEG)
-            m0 = jnp.max(ss, axis=-1, keepdims=True)  # (Q, 1)
-            p0 = jnp.exp(ss - m0)
-            p0 = jnp.where(svalid, p0, 0.0)
-            l0 = jnp.sum(p0, axis=-1, keepdims=True)
-            acc0 = jax.lax.dot_general(
-                p0.astype(ct), vsink_ref[0, 0, 0].astype(ct),
+        # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
+        kwords = kp_ref[0, 0, j].astype(jnp.uint32)
+        klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
+        kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
+        kd = kd * krng_ref[0, j] + koff_ref[0, j]  # (1, D) per-channel
+        if sparse:
+            kd += Mk[:, j * D:(j + 1) * D]
+        k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
+        kx = kd * cos + k_rot * sin
+
+        s_blk = jax.lax.dot_general(
+            q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv  # (Q, BT)
+        s_blk = s_blk + mask_ref[...]
+
+        # ---- t == 0: initialize online softmax from the sink prefix ----
+        @pl.when(t == 0)
+        def _(h=h, j=j, q=q):
+            if S > 0:
+                ks = ksink_ref[0, 0, j]  # (S, D) post-RoPE keys
+                ss = jax.lax.dot_general(
+                    q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv  # (Q, S)
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+                rp = pos + (
+                    jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0) % Tq
+                )
+                svalid = sidx <= rp
+                if window is not None:
+                    svalid &= sidx > rp - window
+                ss = jnp.where(svalid, ss, NEG)
+                m0 = jnp.max(ss, axis=-1, keepdims=True)  # (Q, 1)
+                p0 = jnp.exp(ss - m0)
+                p0 = jnp.where(svalid, p0, 0.0)
+                l0 = jnp.sum(p0, axis=-1, keepdims=True)
+                acc0 = jax.lax.dot_general(
+                    p0.astype(ct), vsink_ref[0, 0, j].astype(ct),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (Q, D)
+            else:
+                m0 = jnp.full((Q, 1), NEG, jnp.float32)
+                l0 = jnp.zeros((Q, 1), jnp.float32)
+                acc0 = jnp.zeros((Q, D), jnp.float32)
+            m_ref[h] = jnp.broadcast_to(m0, (Q, 128))
+            l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
+            out_ref[0, h] = acc0
+
+        # ---- online softmax update ----
+        m_old = m_ref[h][:, :1]  # (Q, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s_blk - m_new)  # (Q, BT); masked lanes underflow to 0
+        l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
+        l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
+
+        # ---- V: unpack + dequant + outliers, score.V ----
+        vwords = vp_ref[0, 0, j].astype(jnp.uint32)
+        vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
+        vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D)
+        ps = p * vsc_ref[0, 0]  # fold per-token scale into probabilities
+        pv = jax.lax.dot_general(
+            ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, D)
+        pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
+        if sparse:
+            pv += jax.lax.dot_general(
+                p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (Q, D)
-        else:
-            m0 = jnp.full((Q, 1), NEG, jnp.float32)
-            l0 = jnp.zeros((Q, 1), jnp.float32)
-            acc0 = jnp.zeros((Q, D), jnp.float32)
-        m_ref[h] = jnp.broadcast_to(m0, (Q, 128))
-        l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
-        out_ref[0, h] = acc0
+            )
 
-    # ---- online softmax update ----
-    m_old = m_ref[h][:, :1]  # (Q, 1)
-    m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(s_blk - m_new)  # (Q, BT); masked lanes exp(NEG - m) == 0
-    l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
-    l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
+        out_ref[0, h] = out_ref[0, h] * alpha + pv
 
-    # ---- V: unpack + dequant + outliers, score.V ----
-    vwords = vp_ref[0, 0, 0].astype(jnp.uint32)
-    vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
-    vd = _unpack_dequant(vwords, vlut, bits, D, BT, ct)  # (BT, D) normalized
-    ps = p * vsc_ref[0, 0]  # fold per-token scale into the probabilities
-    pv = jax.lax.dot_general(
-        ps.astype(ct), vd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Q, D)
-    pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
-    if sparse:
-        Mv = _outlier_m(ow_ref[0, 0, 0, spk:], D, BT, ct, hg, hsel)
-        pv += jax.lax.dot_general(
-            p.astype(ct), Mv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[0, h] = out_ref[0, h] * alpha + pv
-
-    @pl.when(t == nt - 1)
-    def _():
-        out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
+        @pl.when(t == nt - 1)
+        def _(h=h):
+            out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
 
 
 def flash_attention(
@@ -288,7 +249,7 @@ def flash_attention(
     mcfg,
     Tq: int = 1,  # query tokens per head-group row block: Q = G * Tq, rows
                   # g-major, row r at position pos + r % Tq
-    block_tokens: int = 2048,
+    block_tokens: int = 1024,
 ):
     """Single-pass online-softmax attention over sink + packed cache for
     one layer. Tq == 1 is the decode step; Tq > 1 is blockwise quantized
@@ -315,63 +276,59 @@ def flash_attention(
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg,
     )
-    grid = (B, nt, Hkv)
+    # one grid step processes a whole head GROUP (hg heads): the group's
+    # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)
+    # cos/sin + mask scratch is shared by all heads of all groups
+    grid = (B, nt, Hkv // hg)
 
     def im(f):
         # index maps receive (grid indices..., scalar-prefetch refs...)
-        return lambda b, t, h, li_r, pos_r: f(li_r[0], b, t, h)
+        return lambda b, t, g, li_r, pos_r: f(li_r[0], b, t, g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
-                         im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
+            pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
+                         im(lambda li, b, t, g: (li, b, g, 0, t, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bits, BT // 32, D),
-                         im(lambda li, b, t, h: (li, b, h, 0, t, 0)),
+            pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
+                         im(lambda li, b, t, g: (li, b, g, 0, t, 0)),
                          memory_space=pltpu.VMEM),
-            # the outlier tile is per head GROUP: heads of one group index
-            # the same block (shared slot budget, 1/hg the bytes)
             pl.BlockSpec((1, 1, 1, J, BT),
-                         im(lambda li, b, t, h: (li, b, h // hg, 0, t)),
+                         im(lambda li, b, t, g: (li, b, g, 0, t)),
                          memory_space=pltpu.VMEM),
             # singleton sublane axes so the (sublane, lane) block dims equal
             # the array dims (Mosaic tile rule for last-two dims)
-            pl.BlockSpec((1, 1, 1, D), im(lambda li, b, t, h: (li, h, 0, 0)),
+            pl.BlockSpec((1, hg, 1, D), im(lambda li, b, t, g: (li, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D), im(lambda li, b, t, h: (li, h, 0, 0)),
+            pl.BlockSpec((1, hg, 1, D), im(lambda li, b, t, g: (li, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, h: (li, b, 0, t)),
+            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, g: (li, b, 0, t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, h: (li, b, 0, t)),
+            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, g: (li, b, 0, t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, max(S, 1), D),
-                         im(lambda li, b, t, h: (li, b, h, 0, 0)),
+            pl.BlockSpec((1, 1, hg, max(S, 1), D),
+                         im(lambda li, b, t, g: (li, b, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, max(S, 1), D),
-                         im(lambda li, b, t, h: (li, b, h, 0, 0)),
+            pl.BlockSpec((1, 1, hg, max(S, 1), D),
+                         im(lambda li, b, t, g: (li, b, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li, b, t, h: (li, 0, 0)),
+            pl.BlockSpec((1, 1, K), im(lambda li, b, t, g: (li, 0, 0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li, b, t, h: (li, 0, 0)),
+            pl.BlockSpec((1, 1, K), im(lambda li, b, t, g: (li, 0, 0)),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, Q, D), im(lambda li, b, t, h: (b, 0, 0, 0)),
+            (1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # m
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # l
-            # cos/sin in the compute dtype (bf16 halves both the scratch
-            # footprint and the per-head multiply cost)
-            pltpu.VMEM(
-                (2, BT, D),
-                jnp.bfloat16 if dcfg.dot_bf16 else jnp.float32,
-            ),
+            pltpu.VMEM((2, BT, D), jnp.float32),     # cos/sin
             pltpu.VMEM((Q, BT), jnp.float32),        # additive mask
         ],
     )
@@ -406,7 +363,7 @@ def flash_attention(
 
 def flash_decode(q_rot, k_planes, v_planes, kv_out, k_range, k_offset,
                  v_scale, v_offset, k_sink, v_sink, k_lut, v_lut, li, pos,
-                 dcfg, mcfg, block_tokens: int = 2048):
+                 dcfg, mcfg, block_tokens: int = 1024):
     """Decode-step alias: one token per sequence (Tq=1, Q=G rows)."""
     return flash_attention(
         q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale,
