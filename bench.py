@@ -52,7 +52,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 1))
     head_group = int(os.environ.get("BENCH_HEADGROUP", 4))
     dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
-    blk = int(os.environ.get("BENCH_BT", 2048))
+    blk = int(os.environ.get("BENCH_BT", 1024))
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
