@@ -131,25 +131,31 @@ def main():
             length=jnp.full_like(c.length, ctx),
         )
 
+    with_quant = os.environ.get("BENCH_QUANT", "1") == "1"
+
     # NOTE: params/dq are jit *arguments* (closing over them would bake the
     # weights in as constants and blow up compile time)
-    log(f"quant decode ctx={ctx} bits={bits} kernel={kernel} ...")
-    qcache = synth_cache(jax.random.PRNGKey(2))
+    q_tps = 0.0
+    if with_quant:
+        log(f"quant decode ctx={ctx} bits={bits} kernel={kernel} ...")
+        qcache = synth_cache(jax.random.PRNGKey(2))
 
-    @jax.jit
-    def q_decode_loop(p, d, c, tok):
-        def body(carry, i):
-            c, tok = carry
-            c, logits = engine.decode_step(p, cfg, dcfg, d, c, tok, ctx + i)
-            return (c, jnp.argmax(logits, -1).astype(jnp.int32)), logits[0, 0]
-        (_, _), outs = jax.lax.scan(
-            body, (c, tok), jnp.arange(steps, dtype=jnp.int32)
-        )
-        return outs
+        @jax.jit
+        def q_decode_loop(p, d, c, tok):
+            def body(carry, i):
+                c, tok = carry
+                c, logits = engine.decode_step(p, cfg, dcfg, d, c, tok, ctx + i)
+                return (c, jnp.argmax(logits, -1).astype(jnp.int32)), logits[0, 0]
+            (_, _), outs = jax.lax.scan(
+                body, (c, tok), jnp.arange(steps, dtype=jnp.int32)
+            )
+            return outs
 
+        tok0 = jnp.zeros((batch,), jnp.int32)
+        q_tps = timed(q_decode_loop, params, dq, qcache, tok0) * batch
+        log(f"quant decode {q_tps:.2f} tok/s aggregate (batch {batch})")
+        del qcache
     tok0 = jnp.zeros((batch,), jnp.int32)
-    q_tps = timed(q_decode_loop, params, dq, qcache, tok0) * batch
-    log(f"quant decode {q_tps:.2f} tok/s aggregate (batch {batch})")
 
     # fp16 baseline (skippable: at million-token contexts the fp16 cache
     # no longer fits in HBM — that is the point of this framework)

@@ -24,8 +24,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(ap)
     ap.add_argument("--quantizers", required=True)
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="flash",
+                    choices=["flash", "pallas", "xla"])
     ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--admit-mode", default="chunked",
+                    choices=["chunked", "sync"],
+                    help="chunked: one prompt chunk per step (active slots "
+                         "never stall); sync: whole-prompt prefill per admit")
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--max-new-tokens", type=int, default=32)
@@ -55,7 +60,8 @@ def main(argv=None):
         for i in range(args.requests)
     ]
 
-    srv = serve.Server(params, cfg, dcfg, dq, n_slots=args.slots)
+    srv = serve.Server(params, cfg, dcfg, dq, n_slots=args.slots,
+                       admit_mode=args.admit_mode)
     t0 = time.perf_counter()
     results = srv.run(reqs)
     dt = time.perf_counter() - t0

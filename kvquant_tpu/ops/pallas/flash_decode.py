@@ -12,13 +12,16 @@ Why a single pass (vs ops/pallas/attention.py's qk_fused + pv_fused):
     score tensor through XLA between the calls);
   - online softmax keeps the running (m, l, acc) state in VMEM, so nothing
     of O(Tc) ever materializes;
-  - the batch and head dimensions are grid dimensions of the SAME kernel
-    (grid (B, Tc/BT, Hkv)) — B > 1 shares one pipeline instead of
-    replicating grid work per sequence through jax.vmap;
-  - with the head dimension INNERMOST, the per-block RoPE cos/sin tiles and
-    the validity mask — the dominant VPU transcendental cost — are computed
-    once per token block (at h == 0, into VMEM scratch) and reused by every
-    head, instead of per (head, block);
+  - the batch and head-GROUP dimensions are grid dimensions of the SAME
+    kernel (grid (B, Tc/BT, Hkv/head_group)) — B > 1 shares one pipeline
+    instead of replicating grid work per sequence through jax.vmap, and one
+    grid step processes all heads of a group so the group's outlier tile is
+    decoded once over (BT, head_group*d_head) (dividing the dominant
+    per-slot one-hot cost by the group size — measured 1.67x end-to-end);
+  - with the group dimension INNERMOST, the per-block RoPE cos/sin tiles
+    and the validity mask — the dominant VPU transcendental cost — are
+    computed once per token block (at g == 0, into VMEM scratch) and reused
+    by every head, instead of per (head, block);
   - K outliers are added to the dequantized key BEFORE RoPE (RoPE is
     linear, rope(k + M) == rope(k) + rope(M)), so the sparse application is
     a plain one-hot accumulate — ~3 VPU ops/slot/element vs ~8 for the
