@@ -96,11 +96,19 @@ def main():
     # trips through the remote-execution tunnel are seconds, and
     # block_until_ready is optimistic — only a scanned loop + value fetch
     # measures real device time.
-    def timed(loop_fn, *args):
-        out = loop_fn(*args)  # compile + first run
+    # The cache argument is DONATED (the loop writes it in place). Without
+    # donation XLA keeps the input buffer AND a working copy — 2x cache
+    # memory, which is exactly what blocks 1M-token contexts (measured:
+    # "program 9.02G" = a second copy of the 2-bit 1M cache). Donation
+    # invalidates the buffer, so each timed call rebuilds the cache first.
+    def timed(loop_fn, make_cache, *args):
+        c = make_cache()
+        out = loop_fn(*args, c)  # compile + first run (consumes c)
         _ = float(out.sum())
+        c = make_cache()
+        _ = float(c.length.sum())  # sync: cache built before the timer
         t0 = time.perf_counter()
-        out = loop_fn(*args)
+        out = loop_fn(*args, c)
         _ = float(out.sum())
         return steps / (time.perf_counter() - t0)
 
@@ -138,10 +146,12 @@ def main():
     q_tps = 0.0
     if with_quant:
         log(f"quant decode ctx={ctx} bits={bits} kernel={kernel} ...")
-        qcache = synth_cache(jax.random.PRNGKey(2))
 
-        @jax.jit
-        def q_decode_loop(p, d, c, tok):
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def q_decode_loop(p, d, c):
+            tok = jnp.zeros((batch,), jnp.int32)
             def body(carry, i):
                 c, tok = carry
                 c, logits = engine.decode_step(p, cfg, dcfg, d, c, tok, ctx + i)
@@ -151,10 +161,11 @@ def main():
             )
             return outs
 
-        tok0 = jnp.zeros((batch,), jnp.int32)
-        q_tps = timed(q_decode_loop, params, dq, qcache, tok0) * batch
+        q_tps = timed(
+            q_decode_loop, lambda: synth_cache(jax.random.PRNGKey(2)),
+            params, dq,
+        ) * batch
         log(f"quant decode {q_tps:.2f} tok/s aggregate (batch {batch})")
-        del qcache
     tok0 = jnp.zeros((batch,), jnp.int32)
 
     # fp16 baseline (skippable: at million-token contexts the fp16 cache
@@ -167,16 +178,20 @@ def main():
             "vs_baseline": 0.0,
         }))
         return
-    fcache = baseline_fp16.create_fp16_cache(cfg, ctx + steps + 5, batch)
-    fcache = dataclasses.replace(
-        fcache,
-        k=(jax.random.normal(jax.random.PRNGKey(3), fcache.k.shape, jnp.float32) * 0.1).astype(fcache.k.dtype),
-        v=(jax.random.normal(jax.random.PRNGKey(4), fcache.v.shape, jnp.float32) * 0.1).astype(fcache.v.dtype),
-        length=jnp.full_like(fcache.length, ctx),
-    )
+    def synth_fcache():
+        fc = baseline_fp16.create_fp16_cache(cfg, ctx + steps + 5, batch)
+        return dataclasses.replace(
+            fc,
+            k=(jax.random.normal(jax.random.PRNGKey(3), fc.k.shape, jnp.float32) * 0.1).astype(fc.k.dtype),
+            v=(jax.random.normal(jax.random.PRNGKey(4), fc.v.shape, jnp.float32) * 0.1).astype(fc.v.dtype),
+            length=jnp.full_like(fc.length, ctx),
+        )
 
-    @jax.jit
-    def f_decode_loop(p, c, tok):
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(1,))
+    def f_decode_loop(p, c):
+        tok = jnp.zeros((batch,), jnp.int32)
         def body(carry, i):
             c, tok = carry
             c, logits = baseline_fp16.decode_step(p, cfg, c, tok, ctx + i)
@@ -186,7 +201,7 @@ def main():
         )
         return outs
 
-    f_tps = timed(f_decode_loop, params, fcache, tok0) * batch
+    f_tps = timed(f_decode_loop, synth_fcache, params) * batch
     log(f"fp16 decode {f_tps:.2f} tok/s aggregate")
 
     print(json.dumps({
