@@ -59,19 +59,31 @@ def prefill(params, cfg: ModelConfig, cache: Fp16Cache, tokens):
 
 
 def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
-    """Single-token decode against the fp16 cache."""
+    """Single-token decode against the fp16 cache.
+
+    Layers run as a PYTHON loop with STATIC layer indices, the cache riding
+    through as full (L, ...) arrays: each append is a one-row
+    dynamic_update_slice and each attention reads a static slice view that
+    XLA fuses into the einsum — the cache is read once and written one row
+    per layer. (A scan with the cache as xs/ys — the obvious formulation —
+    allocates and rewrites the ENTIRE cache every step: +100% memory, which
+    OOMs fp16 at 128K, and +~2x traffic, which would handicap the baseline
+    the quantized engine is judged against.)
+    """
     B = token.shape[0]
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
     G = H // Hkv
     T = cache.k.shape[3]
 
     x = jnp.take(params["embed"], token, axis=0)
-    cos, sin = llama.rope_cos_sin(jnp.asarray(pos, jnp.int32)[None], cfg)
+    pos = jnp.asarray(pos, jnp.int32)
+    cos, sin = llama.rope_cos_sin(pos[None], cfg)
     valid = jnp.arange(T, dtype=jnp.int32) <= pos
 
-    def layer_fn(x, scanned):
-        lp = scanned["p"]
-        kc, vc = scanned["k"], scanned["v"]
+    kall, vall = cache.k, cache.v
+    layers = params["layers"]
+    for li in range(cfg.n_layers):
+        lp = {k: v[li] for k, v in layers.items()}  # static views
         h = llama.norm(x, lp["ln_attn"], cfg)
         q = (h @ lp["wq"]).reshape(B, Hkv, G, Dh).astype(jnp.float32)
         k = (h @ lp["wk"]).reshape(B, Hkv, Dh).astype(jnp.float32)
@@ -80,12 +92,14 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
         q = q * cos + llama.rotate_half(q) * sin
         k = k * cos + llama.rotate_half(k) * sin
 
-        kc = jax.lax.dynamic_update_slice_in_dim(
-            kc, k[:, :, None].astype(kc.dtype), pos, axis=2
+        kall = jax.lax.dynamic_update_slice(
+            kall, k[None, :, :, None].astype(kall.dtype), (li, 0, 0, pos, 0)
         )
-        vc = jax.lax.dynamic_update_slice_in_dim(
-            vc, v[:, :, None].astype(vc.dtype), pos, axis=2
+        vall = jax.lax.dynamic_update_slice(
+            vall, v[None, :, :, None].astype(vall.dtype), (li, 0, 0, pos, 0)
         )
+        kc = kall[li]  # static slice: fused into the einsum read
+        vc = vall[li]
 
         scores = jnp.einsum(
             "bhgd,bhtd->bhgt", q, kc.astype(jnp.float32),
@@ -100,15 +114,13 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
         h = llama.norm(x, lp["ln_mlp"], cfg)
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        return x, (kc, vc)
-
-    scanned = {"p": params["layers"], "k": cache.k, "v": cache.v}
-    x, (kc, vc) = jax.lax.scan(layer_fn, x, scanned)
 
     x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
     logits = (x @ head).astype(jnp.float32)
-    new_cache = Fp16Cache(k=kc, v=vc, length=jnp.full_like(cache.length, pos + 1))
+    new_cache = Fp16Cache(
+        k=kall, v=vall, length=jnp.full_like(cache.length, pos + 1)
+    )
     return new_cache, logits

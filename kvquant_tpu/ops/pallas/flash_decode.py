@@ -116,8 +116,16 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     inv = 1.0 / (D ** 0.5)
     ct = jnp.bfloat16 if dot_bf16 else jnp.float32
 
+    # last live packed index this step can attend to: pos + Tq - 1 - S.
+    # Blocks wholly beyond it ("dead") contribute nothing — their compute is
+    # skipped entirely, and the wrapper's index maps clamp their DMA to the
+    # last live block (pallas skips refetch when the block index repeats),
+    # so prefill cost is triangular in the prompt and decode cost tracks
+    # the FILLED prefix of the cache, not its capacity.
+    live = t * BT <= pos + (Tq - 1) - S
+
     # ---- per-(b, t) shared state: RoPE tiles + additive validity mask ----
-    @pl.when(g == 0)
+    @pl.when((g == 0) & live)
     def _():
         d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
         tt = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t * BT
@@ -138,37 +146,12 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             valid &= (idx + S) > rowpos - window
         mask_ref[...] = jnp.where(valid, 0.0, NEG)
 
-    cos = cs_ref[0]
-    sin = cs_ref[1]
-
-    # group outlier addends built ONCE for all hg heads of this step
-    if sparse:
-        Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
-        Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg)
-
-    for j in range(hg):
-        h = g * hg + j
-        q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
-
-        # ---- K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T ----
-        kwords = kp_ref[0, 0, j].astype(jnp.uint32)
-        klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
-        kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
-        kd = kd * krng_ref[0, j] + koff_ref[0, j]  # (1, D) per-channel
-        if sparse:
-            kd += Mk[:, j * D:(j + 1) * D]
-        k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
-        kx = kd * cos + k_rot * sin
-
-        s_blk = jax.lax.dot_general(
-            q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv  # (Q, BT)
-        s_blk = s_blk + mask_ref[...]
-
-        # ---- t == 0: initialize online softmax from the sink prefix ----
-        @pl.when(t == 0)
-        def _(h=h, j=j, q=q):
+    # ---- t == 0: initialize online softmax from the sink prefix ----
+    @pl.when(t == 0)
+    def _():
+        for j in range(hg):
+            h = g * hg + j
+            q = q_ref[0, h]  # (Q, D)
             if S > 0:
                 ks = ksink_ref[0, 0, j]  # (S, D) post-RoPE keys
                 ss = jax.lax.dot_general(
@@ -200,36 +183,68 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
             out_ref[0, h] = acc0
 
-        # ---- online softmax update ----
-        m_old = m_ref[h][:, :1]  # (Q, 1)
-        m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s_blk - m_new)  # (Q, BT); masked lanes underflow to 0
-        l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
-        l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
-
-        # ---- V: unpack + dequant + outliers, score.V ----
-        vwords = vp_ref[0, 0, j].astype(jnp.uint32)
-        vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
-        vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D)
-        ps = p * vsc_ref[0, 0]  # fold per-token scale into probabilities
-        pv = jax.lax.dot_general(
-            ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Q, D)
-        pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
+    # ---- live blocks: the fused dense + sparse attention update ----
+    @pl.when(live)
+    def _():
+        cos = cs_ref[0]
+        sin = cs_ref[1]
+        # group outlier addends built ONCE for all hg heads of this step
         if sparse:
-            pv += jax.lax.dot_general(
-                p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
-                (((1,), (0,)), ((), ())),
+            Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
+            Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg)
+        klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
+        vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
+
+        for j in range(hg):
+            h = g * hg + j
+            q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
+
+            # K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T
+            kwords = kp_ref[0, 0, j].astype(jnp.uint32)
+            kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
+            kd = kd * krng_ref[0, j] + koff_ref[0, j]
+            if sparse:
+                kd += Mk[:, j * D:(j + 1) * D]
+            k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
+            kx = kd * cos + k_rot * sin
+
+            s_blk = jax.lax.dot_general(
+                q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * inv  # (Q, BT)
+            s_blk = s_blk + mask_ref[...]
 
-        out_ref[0, h] = out_ref[0, h] * alpha + pv
+            # online softmax update
+            m_old = m_ref[h][:, :1]  # (Q, 1)
+            m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s_blk - m_new)  # (Q, BT); masked lanes underflow to 0
+            l_new = l_ref[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
+            l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
 
-        @pl.when(t == nt - 1)
-        def _(h=h):
+            # V: unpack + dequant + outliers, score.V
+            vwords = vp_ref[0, 0, j].astype(jnp.uint32)
+            vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D)
+            ps = p * vsc_ref[0, 0]  # fold per-token scale into probabilities
+            pv = jax.lax.dot_general(
+                ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Q, D)
+            pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
+            if sparse:
+                pv += jax.lax.dot_general(
+                    p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            out_ref[0, h] = out_ref[0, h] * alpha + pv
+
+    @pl.when(t == nt - 1)
+    def _():
+        for j in range(hg):
+            h = g * hg + j
             out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
 
 
@@ -288,6 +303,18 @@ def flash_attention(
         # index maps receive (grid indices..., scalar-prefetch refs...)
         return lambda b, t, g, li_r, pos_r: f(li_r[0], b, t, g)
 
+    def imt(f):
+        # like im, but the token-block index is CLAMPED to the last live
+        # block: dead blocks re-request the previous block's index, and the
+        # pipeline skips the refetch — dead blocks cost neither DMA nor
+        # compute (the kernel gates on `live`)
+        def index(b, t, g, li_r, pos_r):
+            last_live = jnp.maximum(
+                (pos_r[b] + (Tq - 1) - S) // BT, 0
+            )
+            return f(li_r[0], b, jnp.minimum(t, last_live), g)
+        return index
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -295,13 +322,13 @@ def flash_attention(
             pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
-                         im(lambda li, b, t, g: (li, b, g, 0, t, 0)),
+                         imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
-                         im(lambda li, b, t, g: (li, b, g, 0, t, 0)),
+                         imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, J, BT),
-                         im(lambda li, b, t, g: (li, b, g, 0, t)),
+                         imt(lambda li, b, t, g: (li, b, g, 0, t)),
                          memory_space=pltpu.VMEM),
             # singleton sublane axes so the (sublane, lane) block dims equal
             # the array dims (Mosaic tile rule for last-two dims)
@@ -309,9 +336,11 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hg, 1, D), im(lambda li, b, t, g: (li, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, g: (li, b, 0, t)),
+            pl.BlockSpec((1, 1, 1, BT),
+                         imt(lambda li, b, t, g: (li, b, 0, t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BT), im(lambda li, b, t, g: (li, b, 0, t)),
+            pl.BlockSpec((1, 1, 1, BT),
+                         imt(lambda li, b, t, g: (li, b, 0, t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hg, max(S, 1), D),
                          im(lambda li, b, t, g: (li, b, g, 0, 0)),
