@@ -656,7 +656,10 @@ def block_attention(
             new_cache.k_sink[None], new_cache.v_sink[None],
             lq.k_lut_dec[None], lq.v_lut_dec[None],
             jnp.int32(0), pos_first, dcfg, mcfg,
-            Tq=Tq_all, block_tokens=1024,
+            # multi-row queries scale the kernel's out/m/l/q VMEM blocks
+            # with Q = G*Tq: a smaller token block keeps the folded kernel
+            # under the 16MB scoped-VMEM limit at chunk 256
+            Tq=Tq_all, block_tokens=512,
         ).reshape(B, Hkv, G, Tq_all, Dh)
         out = out.transpose(0, 3, 1, 2, 4).reshape(B, Tq_all, Hkv * G * Dh)
         return new_cache, out
