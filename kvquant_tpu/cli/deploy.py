@@ -55,6 +55,7 @@ def main(argv=None):
     dcfg = DeployConfig.create(
         bits=qs.bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=maxlen, sink=qs.first_few_fp16,
+        head_group=getattr(args, 'head_group', 4),
         sparsity_threshold=qs.sparsity_threshold, kernel=args.kernel,
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
@@ -67,7 +68,8 @@ def main(argv=None):
     tokens = jnp.asarray(test[:1, : max(args.prefill + args.benchmark, 16)])
 
     if args.check:
-        sq = simquant_from_quantizers(qs, n_kv_heads=cfg.n_kv_heads)
+        sq = simquant_from_quantizers(qs, n_kv_heads=cfg.n_kv_heads,
+                                      head_group=dcfg.head_group)
         sim = perplexity(params, cfg, tokens, simquant=sq)
         dep = engine.deployed_ppl(params, cfg, dcfg, dq, tokens,
                                   prefill_tokens=args.prefill)
