@@ -116,3 +116,53 @@ def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
 
 def shard_quant(mesh: Mesh, dq: DeployedQuant) -> DeployedQuant:
     return jax.device_put(dq, quant_shardings(mesh))
+
+
+def flash_attention_sharded(mesh: Mesh, q_rot, k_planes, v_planes, kv_out,
+                            k_range, k_offset, v_scale, v_offset,
+                            k_sink, v_sink, k_lut, v_lut, li, pos,
+                            dcfg, mcfg, Tq: int = 1,
+                            block_tokens: int = 1024):
+    """shard_map wrapper for ops.pallas.flash_decode.flash_attention:
+    batch shards over "dp", kv heads (and their outlier groups) over "tp".
+
+    Attention is head-local, so NO collectives are needed — each device
+    runs the kernel on its head shard of the packed cache. Without this
+    wrapper, a pallas_call inside a GSPMD program is unpartitionable and
+    XLA all-gathers the full cache to every device.
+
+    Requires (n_kv_heads / tp) % head_group == 0 so outlier groups don't
+    straddle the shard boundary.
+    """
+    from functools import partial
+
+    from ..ops.pallas.flash_decode import flash_attention
+
+    shard_map = jax.shard_map
+
+    tp = mesh.shape["tp"]
+    assert (dcfg.n_kv_heads // tp) % dcfg.head_group == 0, (
+        dcfg.n_kv_heads, tp, dcfg.head_group
+    )
+
+    cache_p = P(None, "dp", "tp")
+    specs_in = (
+        P("dp", "tp"),            # q_rot (B, Hkv, Q, D)
+        cache_p, cache_p,         # k_planes, v_planes
+        cache_p,                  # kv_out (groups axis)
+        P(None, "tp"),            # k_range (L, Hkv, D)
+        P(None, "tp"),            # k_offset
+        P(None, "dp"),            # v_scale (L, B, Tc)
+        P(None, "dp"),            # v_offset
+        cache_p, cache_p,         # sinks
+        P(), P(),                 # luts (replicated)
+        P(), P("dp"),             # li, pos
+    )
+
+    fn = partial(flash_attention, dcfg=dcfg, mcfg=mcfg, Tq=Tq,
+                 block_tokens=block_tokens)
+    return shard_map(
+        fn, mesh=mesh, in_specs=specs_in, out_specs=P("dp", "tp"),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )(q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale,
+      v_offset, k_sink, v_sink, k_lut, v_lut, li, pos)
