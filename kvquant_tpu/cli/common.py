@@ -51,6 +51,11 @@ def add_quant_args(ap: argparse.ArgumentParser):
                          "auto-clamped to divide the kv-head count). 4 => "
                          "4.9x cache compression at 3-bit, ppl-neutral")
     ap.add_argument("--qnorm", action="store_true", default=False)
+    ap.add_argument("--codes", default="nuq", choices=["nuq", "int4", "int8"],
+                    help="code STORAGE: 'nuq' bit-planes + LUT mux (any "
+                         "codebook), 'int4'/'int8' hardware intN + affine "
+                         "dequant — the v5e fast path; requires --mode "
+                         "uniform calibration (affine codebook)")
 
 
 def add_parallel_args(ap: argparse.ArgumentParser):

@@ -45,6 +45,7 @@ def main(argv=None):
         bits=qs.bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=maxlen, sink=qs.first_few_fp16, kernel=args.kernel,
         head_group=getattr(args, 'head_group', 4),
+        codes=getattr(args, 'codes', 'nuq'),
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 

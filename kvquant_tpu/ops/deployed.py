@@ -41,8 +41,17 @@ from ..models.llama import rope_cos_sin, rotate_half
 from ..quant.nuq import nearest_codes, lut_lookup
 from .packing import (
     pack_codes, unpack_codes, set_token_codes,
+    store_codes_int, load_codes_int, set_token_codes_int,
+    set_token_codes_int_at_layer, place_codes_int,
     encode_outlier_words, decode_outlier_words,
 )
+
+
+def _stored_codes(planes, dcfg: DeployConfig):
+    """Packed storage -> unsigned int32 codes (B, Hkv, Tc, D)."""
+    if dcfg.codes == "nuq":
+        return unpack_codes(planes, dcfg.bits)
+    return load_codes_int(planes, dcfg.bits)
 
 
 def rotate_half_axis(x, axis):
@@ -182,7 +191,7 @@ def _outlier_addend(out_words, dcfg: DeployConfig):
 def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
                    with_outliers: bool = True):
     """(B, Hkv, Tc, D) fp32 pre-RoPE keys (dense [+ sparse])."""
-    codes = unpack_codes(cache_l.k_planes, dcfg.bits)  # (B,Hkv,Tc,D)
+    codes = _stored_codes(cache_l.k_planes, dcfg)  # (B,Hkv,Tc,D)
     deq = lut_lookup(lq.k_lut_dec, codes) * lq.k_range[:, None, :] + (
         lq.k_offset[:, None, :]
     )
@@ -196,7 +205,7 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
 def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
                    with_outliers: bool = True):
     """(B, Hkv, Tc, D) fp32 values (dense [+ sparse])."""
-    codes = unpack_codes(cache_l.v_planes, dcfg.bits)
+    codes = _stored_codes(cache_l.v_planes, dcfg)
     deq = lut_lookup(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, :, None] + (
         cache_l.v_offset[:, None, :, None]
     )
@@ -290,7 +299,14 @@ def decode_attention(
     # row-level predication: tokens that went to the sink leave the packed
     # cache untouched (a full-array jnp.where here would copy the whole
     # packed cache every step)
-    k_planes = jax.vmap(set_token_codes)(cache_l.k_planes, codes_k, p, not_sink)
+    def _append(planes, codes):
+        if dcfg.codes == "nuq":
+            return jax.vmap(set_token_codes)(planes, codes, p, not_sink)
+        return jax.vmap(
+            lambda a, c, pp, pr: set_token_codes_int(a, c, pp, dcfg.bits, pr)
+        )(planes, codes, p, not_sink)
+
+    k_planes = _append(cache_l.k_planes, codes_k)
     if dcfg.include_sparse:
         kv_out = _write_out_slots(cache_l.kv_out, k_words, p, not_sink, 0)
     else:
@@ -309,6 +325,7 @@ def decode_attention(
     if dcfg.kernel == "pallas":
         from .pallas import qk_fused
 
+        assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(
                 q1, kp1, ow1, lq.k_range, lq.k_offset, lq.k_lut_dec,
@@ -340,7 +357,7 @@ def decode_attention(
     v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     if S > 0:
         v_sink = _write_row_b(v_sink, v_h, pos, in_sink, axis=1)
-    v_planes = jax.vmap(set_token_codes)(cache_l.v_planes, codes_v, p, not_sink)
+    v_planes = _append(cache_l.v_planes, codes_v)
     v_scale = _write_row_b(cache_l.v_scale, v_sc, p, not_sink, axis=0)
     v_offset = _write_row_b(cache_l.v_offset, v_off, p, not_sink, axis=0)
     if dcfg.include_sparse:
@@ -406,12 +423,17 @@ def append_token_flash(
     codes_v, v_words, v_sc, v_off = quantize_v(v_new, lq, dcfg)
 
     def put_planes(planes, codes):
-        return jax.vmap(
-            lambda pl_b, c_b, p_b, pr_b: set_token_codes_at_layer(
+        if dcfg.codes == "nuq":
+            write = lambda pl_b, c_b, p_b, pr_b: set_token_codes_at_layer(
                 pl_b, c_b, li, p_b, pr_b
-            ),
-            in_axes=(1, 0, 0, 0), out_axes=1,
-        )(planes, codes, p, not_sink)
+            )
+        else:
+            write = lambda pl_b, c_b, p_b, pr_b: set_token_codes_int_at_layer(
+                pl_b, c_b, li, p_b, dcfg.bits, pr_b
+            )
+        return jax.vmap(write, in_axes=(1, 0, 0, 0), out_axes=1)(
+            planes, codes, p, not_sink
+        )
 
     out = dict(arrs)
     out["k_planes"] = put_planes(arrs["k_planes"], codes_k)
@@ -516,6 +538,8 @@ def prefill_pack(
         v_sink = v[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32).transpose(0, 2, 1, 3)
 
     def place(planes, codes):
+        if dcfg.codes != "nuq":
+            return place_codes_int(planes, codes, 0, dcfg.bits)
         # codes (B, Tp, Hkv, D) -> planes word rows [0 : Tpad/32)
         c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tp,D)
         c = jnp.pad(c, ((0, 0),) * 2 + ((0, Tpad - Tp), (0, 0)))
@@ -609,6 +633,8 @@ def block_attention(
     w0 = p0 // 32
 
     def place(planes, codes):
+        if dcfg.codes != "nuq":
+            return place_codes_int(planes, codes, p0, dcfg.bits)
         c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tq,D)
         words = pack_codes(c, dcfg.bits)  # (B,Hkv,bits,Tq/32,D)
         return jax.lax.dynamic_update_slice(
@@ -667,6 +693,7 @@ def block_attention(
     if dcfg.kernel == "pallas":
         from .pallas import qk_fused
 
+        assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
         qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(

@@ -130,6 +130,73 @@ def set_token_codes_at_layer(planes, codes, li, pos, pred=None):
 
 
 # ---------------------------------------------------------------------------
+# hardware intN code storage (DeployConfig.codes "int4"/"int8")
+#
+# Codes live directly at (..., Tc, D) in a signed int4/int8 array — the long
+# token axis on sublanes, head_dim (one full lane tile) on lanes. No bit
+# arithmetic anywhere: store = subtract-bias + convert, load = convert +
+# add-bias, and the Pallas kernels dequantize with ONE convert + fma per
+# element (vs ~19 VPU ops for the bit-plane mux tree). This is the v5e
+# fast path: the machine runs ~2.1 VPU ops per HBM byte, so mux dequant is
+# VPU-bound ~5x over the fp16 baseline's bandwidth cost while affine
+# dequant is not. Bit widths below the container width still clamp to the
+# codebook range at encode time; density is the container's (int4: 0.5
+# B/elem — equal to 4-bit planes; the sub-4-bit widths keep "nuq" storage
+# for exact density).
+# ---------------------------------------------------------------------------
+
+
+def store_codes_int(codes, bits: int, dtype):
+    """Unsigned codes (int32, [0, 2**bits)) -> signed container values."""
+    return (codes.astype(jnp.int32) - (1 << (bits - 1))).astype(dtype)
+
+
+def load_codes_int(arr, bits: int):
+    """Signed container values -> unsigned int32 codes."""
+    return arr.astype(jnp.int32) + (1 << (bits - 1))
+
+
+def set_token_codes_int(arr, codes, pos, bits: int, pred=None):
+    """Write one token's codes at packed position ``pos`` of an intN array.
+
+    arr: (..., Tc, D) intN; codes: (..., D) int32 unsigned; pos scalar.
+    Row-level predicated read-modify-write (same contract as
+    set_token_codes: a caller-side jnp.where would copy the whole cache).
+    """
+    pos = jnp.clip(pos, 0, arr.shape[-2] - 1)
+    old = jax.lax.dynamic_slice_in_dim(arr, pos, 1, axis=-2)
+    new = store_codes_int(codes[..., None, :], bits, arr.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice_in_dim(arr, new, pos, axis=-2)
+
+
+def set_token_codes_int_at_layer(arr, codes, li, pos, bits: int, pred=None):
+    """Write one token's codes into layer ``li`` of the FULL stacked array.
+
+    arr: (L, H, Tc, D) intN (single sample); codes: (H, D) int32 unsigned;
+    li/pos traced scalars; pred scalar bool (False => no-op row write).
+    """
+    L, Hh, Tc, D = arr.shape
+    pos = jnp.clip(pos, 0, Tc - 1)
+    old = jax.lax.dynamic_slice(arr, (li, 0, pos, 0), (1, Hh, 1, D))
+    new = store_codes_int(codes[None, :, None, :], bits, arr.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice(arr, new, (li, 0, pos, 0))
+
+
+def place_codes_int(arr, codes, p0, bits: int):
+    """Write a whole aligned token block: arr (..., H, Tc, D) intN, codes
+    (..., T, H, D) int32 unsigned, block start ``p0`` on the token axis."""
+    c = jnp.moveaxis(codes, -3, -2)  # (..., H, T, D)
+    start = (0,) * (arr.ndim - 2) + (p0, 0)
+    return jax.lax.dynamic_update_slice(
+        arr, store_codes_int(c, bits, arr.dtype), start
+    )
+
+
+# ---------------------------------------------------------------------------
 # outlier word encoding
 # ---------------------------------------------------------------------------
 

@@ -101,7 +101,8 @@ def _outlier_m_group(ow, D: int, BT: int, hg: int):
 
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
-                  scaling, window, sparse, spk, J, dot_bf16, nt, hg):
+                  scaling, window, sparse, spk, J, dot_bf16, nt, hg,
+                  codes="nuq"):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
      ksink_ref, vsink_ref, klut_ref, vlut_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
@@ -192,17 +193,25 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         if sparse:
             Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
             Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg)
-        klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
-        vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
+        if codes == "nuq":
+            klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
+            vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
 
         for j in range(hg):
             h = g * hg + j
             q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
 
             # K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T
-            kwords = kp_ref[0, 0, j].astype(jnp.uint32)
-            kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
-            kd = kd * krng_ref[0, j] + koff_ref[0, j]
+            if codes == "nuq":
+                kwords = kp_ref[0, 0, j].astype(jnp.uint32)
+                kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
+                kd = kd * krng_ref[0, j] + koff_ref[0, j]
+            else:
+                # hardware intN codes: dequant is ONE convert + fma — the
+                # wrapper folds the affine codebook into krng/koff
+                # (k_step/k_zero), so this is the entire K reconstruction
+                kd = kp_ref[0, 0, j].astype(jnp.float32)
+                kd = kd * krng_ref[0, j] + koff_ref[0, j]
             if sparse:
                 kd += Mk[:, j * D:(j + 1) * D]
             k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
@@ -224,8 +233,14 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
 
             # V: unpack + dequant + outliers, score.V
-            vwords = vp_ref[0, 0, j].astype(jnp.uint32)
-            vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D)
+            if codes == "nuq":
+                vwords = vp_ref[0, 0, j].astype(jnp.uint32)
+                vd = _unpack_dequant(vwords, vlut, bits, D, BT)  # (BT, D)
+            else:
+                # signed codes contract directly against the scale-folded
+                # probabilities: V dequant is ONE convert per element (the
+                # per-token affine ride in vsc/voff, transformed upstream)
+                vd = vp_ref[0, 0, j].astype(jnp.float32)
             ps = p * vsc_ref[0, 0]  # fold per-token scale into probabilities
             pv = jax.lax.dot_general(
                 ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
@@ -278,8 +293,29 @@ def flash_attention(
     B, Hkv, Q, D = q_rot.shape
     assert Q % Tq == 0
     bits = dcfg.bits
-    TW = k_planes.shape[-2]
-    Tc = TW * 32
+    if dcfg.codes == "nuq":
+        Tc = k_planes.shape[-2] * 32
+    else:
+        Tc = k_planes.shape[-2]
+        # fold the affine codebook lut[c] = a + b*c (signed codes c_s =
+        # c - bias) into the per-channel / per-token scale arrays, so the
+        # kernel's dequant is exactly `cvt(code) * scale + zero`:
+        #   K: x = (b*hr)*c_s + (a + bias*b)*hr + zp
+        #   V: x = (b*s_t)*c_s + (a + bias*b)*s_t + off_t
+        K = 2 ** bits
+        bias = dcfg.code_bias
+        kb = (k_lut[:, -1] - k_lut[:, 0]) / (K - 1)  # (L,)
+        ka = k_lut[:, 0] + bias * kb
+        vb = (v_lut[:, -1] - v_lut[:, 0]) / (K - 1)
+        va = v_lut[:, 0] + bias * vb
+        k_range, k_offset = (
+            kb[:, None, None] * k_range,
+            ka[:, None, None] * k_range + k_offset,
+        )
+        v_scale, v_offset = (
+            vb[:, None, None] * v_scale,
+            va[:, None, None] * v_scale + v_offset,
+        )
     BT = _pick_bt(Tc, block_tokens)
     nt = Tc // BT
     S = dcfg.sink
@@ -292,7 +328,7 @@ def flash_attention(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=Tq, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
-        J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg,
+        J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
     )
     # one grid step processes a whole head GROUP (hg heads): the group's
     # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)
@@ -315,18 +351,26 @@ def flash_attention(
             return f(li_r[0], b, jnp.minimum(t, last_live), g)
         return index
 
+    if dcfg.codes == "nuq":
+        code_spec = lambda: pl.BlockSpec(
+            (1, 1, hg, bits, BT // 32, D),
+            imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        code_spec = lambda: pl.BlockSpec(
+            (1, 1, hg, BT, D),
+            imt(lambda li, b, t, g: (li, b, g, t, 0)),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
-                         imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, bits, BT // 32, D),
-                         imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
-                         memory_space=pltpu.VMEM),
+            code_spec(),
+            code_spec(),
             pl.BlockSpec((1, 1, 1, J, BT),
                          imt(lambda li, b, t, g: (li, b, g, 0, t)),
                          memory_space=pltpu.VMEM),
