@@ -53,6 +53,8 @@ def main():
     head_group = int(os.environ.get("BENCH_HEADGROUP", 4))
     dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
     blk = int(os.environ.get("BENCH_BT", 1024))
+    codes = os.environ.get("BENCH_CODES", "nuq")  # nuq | int4 | int8
+    scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -64,7 +66,10 @@ def main():
     # synthetic calibrated quantizers (NF signposts + random thresholds):
     # throughput does not depend on codebook values
     rng = np.random.default_rng(0)
-    lut = nf_signposts(bits)
+    # intN storage needs an affine codebook (uniform grid); nuq benches the
+    # NF-signpost mux path. Throughput is content-independent either way.
+    lut = (nf_signposts(bits) if codes == "nuq"
+           else np.linspace(-1, 1, 2 ** bits, dtype=np.float32))
     layers = []
     for _ in range(cfg.n_layers):
         u = (np.abs(rng.normal(size=cfg.kv_hidden)) * 2 + 1).astype(np.float32)
@@ -79,6 +84,7 @@ def main():
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
         include_sparse=sparse, head_group=head_group, dot_bf16=dot_bf16,
+        codes=codes,
     )
     if kernel == "flash":
         import kvquant_tpu.ops.pallas.flash_decode as _fd
@@ -186,13 +192,13 @@ def main():
             log("fp16 subprocess failed; reporting vs_baseline=0\n"
                 + r.stderr[-2000:])
             print(json.dumps({
-                "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}",
+                "metric": f"decode_toks_per_s_{scheme}_{kernel}_ctx{ctx}",
                 "value": round(q_tps, 3), "unit": "tok/s", "vs_baseline": 0.0,
             }))
             return
         log(f"fp16 decode {f_tps:.2f} tok/s aggregate (fresh subprocess)")
         print(json.dumps({
-            "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}"
+            "metric": f"decode_toks_per_s_{scheme}_{kernel}_ctx{ctx}"
                       + (f"_b{batch}" if batch > 1 else ""),
             "value": round(q_tps, 3),
             "unit": "tok/s",
@@ -202,7 +208,7 @@ def main():
 
     if not with_fp16:
         print(json.dumps({
-            "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}",
+            "metric": f"decode_toks_per_s_{scheme}_{kernel}_ctx{ctx}",
             "value": round(q_tps, 3),
             "unit": "tok/s",
             "vs_baseline": 0.0,
@@ -235,7 +241,7 @@ def main():
     log(f"fp16 decode {f_tps:.2f} tok/s aggregate")
 
     print(json.dumps({
-        "metric": f"decode_toks_per_s_nuq{bits}_{kernel}_ctx{ctx}"
+        "metric": f"decode_toks_per_s_{scheme}_{kernel}_ctx{ctx}"
                   + (f"_b{batch}" if batch > 1 else ""),
         "value": round(q_tps, 3),
         "unit": "tok/s",

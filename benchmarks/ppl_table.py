@@ -100,6 +100,35 @@ def main():
             print(f"deployed nuq{bits} (packed cache, head_group=4) "
                   f"ppl {dep:.4f}")
 
+    # uniform (affine) codebooks — the scheme behind the intN hardware
+    # storage fast path. The reference's own tables show int4-sparse within
+    # noise of nuq4-sparse (quant/README.md); this tracks the same claim on
+    # the trained checkpoint, including a deployed run through the actual
+    # int4 container datapath.
+    for bits in (4, 3):
+        qs = fit_quantizers(
+            k_acts, v_acts, bits=bits, sparsity_threshold=0.99,
+            cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+            kmeans_iters=10 if args.fast else 30, mode="uniform",
+        )
+        sq = simquant_from_quantizers(
+            qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads
+        )
+        ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+        rows[f"uniform{bits}"] = ppl
+        print(f"uniform{bits}-1%% ppl {ppl:.4f}  (delta {ppl - ppl_fp16:+.4f})")
+        if bits == 4:
+            dcfg = DeployConfig.create(
+                bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+                max_len=261, sink=5, head_group=4, codes="int4",
+                kernel="flash",
+            )
+            dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+            dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+            rows["deployed_int4"] = dep
+            print(f"deployed int4 (hardware container, flash kernel) "
+                  f"ppl {dep:.4f}")
+
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
 
 
