@@ -55,7 +55,11 @@ def _unpack_dequant_block(words_u32, lut_ref, bits: int, D: int, BT: int):
     no code assembly, no compares) — the kernel is VPU-bound, so every
     per-element op matters.
     """
-    shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
+    # sign-bit expansion: bit r//4 of the word == sign of (word << 31-r//4)
+    # — 2 VPU ops per plane element vs the 3-op shift/and/compare chain
+    lshift = 31 - (
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, D), 0) // WPG
+    )
     groups = []
     for g in range(BT // GROUP):
         masks = []
@@ -63,7 +67,7 @@ def _unpack_dequant_block(words_u32, lut_ref, bits: int, D: int, BT: int):
             w = pltpu.repeat(
                 words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
             )
-            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
+            masks.append((pltpu.bitcast(w, jnp.int32) << lshift) < 0)
         # mux tree: level b selects between subtrees on bit b (LSB first at
         # the leaves)
         vals = [lut_ref[i] for i in range(2 ** bits)]

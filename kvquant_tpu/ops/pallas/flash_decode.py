@@ -60,8 +60,16 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
     taking the LUT as a list of scalars (read from an SMEM block). All
     elementwise work stays fp32: a bf16 variant (arithmetic mux, relu
     one-hots) measured ~22% SLOWER end-to-end on v5e — the VPU does not run
-    16-bit element ops at 2x, and the extra casts/arith forms cost ops."""
-    shift = jax.lax.broadcasted_iota(jnp.uint32, (GROUP, D), 0) // WPG
+    16-bit element ops at 2x, and the extra casts/arith forms cost ops.
+
+    Bit test via SIGN-BIT EXPANSION: left-shift the word so the wanted bit
+    lands at bit 31, then compare the SIGNED value against 0 — 2 VPU ops
+    per plane element instead of the shift/and/compare 3-op chain. Exact
+    (bit b of w == sign of w << (31-b)); the kernel is VPU-bound, so one
+    op per plane per element is ~5% of the whole step at 3-bit."""
+    lshift = 31 - (
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, D), 0) // WPG
+    )
     groups = []
     for g in range(BT // GROUP):
         masks = []
@@ -69,7 +77,7 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
             w = pltpu.repeat(
                 words_u32[b, g * WPG:(g + 1) * WPG, :], GROUP // WPG, axis=0
             )
-            masks.append(((w >> shift) & jnp.uint32(1)) != 0)
+            masks.append((pltpu.bitcast(w, jnp.int32) << lshift) < 0)
         level = list(lut_vals)
         for b in range(bits):
             level = [
