@@ -129,6 +129,27 @@ def main():
             print(f"deployed int4 (hardware container, flash kernel) "
                   f"ppl {dep:.4f}")
 
+    # post-RoPE K storage (the zero-rotation kernel speed mode): calibrate
+    # on ROPED activations. The paper's pre-RoPE insight predicts some ppl
+    # cost; this row quantifies it on the trained checkpoint per round.
+    k_acts_r, v_acts_r = collect_kv_activations(
+        params, cfg, [cal_toks], rope_k=True
+    )
+    for bits in (4, 3):
+        qs = fit_quantizers(
+            k_acts_r, v_acts_r, bits=bits, sparsity_threshold=0.99,
+            cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+            kmeans_iters=10 if args.fast else 30, mode="uniform",
+        )
+        qs.meta["post_rope_k"] = True
+        sq = simquant_from_quantizers(
+            qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads
+        )
+        ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+        rows[f"uniform{bits}_postrope"] = ppl
+        print(f"uniform{bits}-postrope ppl {ppl:.4f}  "
+              f"(delta {ppl - ppl_fp16:+.4f})")
+
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
 
 

@@ -75,6 +75,12 @@ class DeployConfig:
     #            VPU-bound 0.4x and beating the fp16 baseline. bits <= 4.
     #   "int8" — same affine path in an int8 container (bits <= 8); robust
     #            fallback where int4 tiling is unsupported, 2x compression.
+    post_rope_k: bool = False  # store keys POST-rotary. The reference
+    #   quantizes pre-RoPE (per-channel distributions are cleaner there);
+    #   post-RoPE storage lets the deployed kernel skip the per-element
+    #   rotation entirely — the TPU speed mode. Calibration must then fit
+    #   on roped activations (quant.calibration.rope_k_activations) and the
+    #   quantizer artifact should carry meta["post_rope_k"]=True.
 
     def __post_init__(self):
         assert self.codes in ("nuq", "int4", "int8"), self.codes
@@ -134,7 +140,8 @@ class DeployConfig:
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
                sparsity_threshold=0.99, include_sparse=True, kernel="xla",
-               cap_per_side=None, dot_bf16=True, head_group=1, codes="nuq"):
+               cap_per_side=None, dot_bf16=True, head_group=1, codes="nuq",
+               post_rope_k=False):
         if head_group in (None, 0):  # auto: largest of {1,2,4} that divides
             head_group = 4
         while n_kv_heads % head_group:
@@ -151,6 +158,7 @@ class DeployConfig:
             ),
             dot_bf16=dot_bf16,
             codes=codes,
+            post_rope_k=post_rope_k,
         )
 
 

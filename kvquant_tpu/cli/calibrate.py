@@ -37,7 +37,8 @@ def main(argv=None):
     train, _ = common.load_data(args, cfg)
 
     k_acts, v_acts = collect_kv_activations(
-        params, cfg, [jnp.asarray(train)]
+        params, cfg, [jnp.asarray(train)],
+        rope_k=getattr(args, "post_rope_k", False),
     )
     fisher_k = fisher_v = None
     if args.fisher:
@@ -55,7 +56,8 @@ def main(argv=None):
         first_few_fp16=args.first_few_fp16, sample_seqlen=args.seqlen,
         fisher_k=fisher_k, fisher_v=fisher_v, qnorm=args.qnorm,
         seed=args.seed, kmeans_iters=args.kmeans_iters, mode=args.mode,
-        meta=dict(model=args.model or "toy", dataset=args.dataset),
+        meta=dict(model=args.model or "toy", dataset=args.dataset,
+                  post_rope_k=getattr(args, "post_rope_k", False)),
     )
     save_quantizers(args.output, qs)
     print(f"saved {len(qs)}-layer {args.abits}-bit quantizers -> {args.output}")

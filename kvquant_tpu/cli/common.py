@@ -56,6 +56,11 @@ def add_quant_args(ap: argparse.ArgumentParser):
                          "codebook), 'int4'/'int8' hardware intN + affine "
                          "dequant — the v5e fast path; requires --mode "
                          "uniform calibration (affine codebook)")
+    ap.add_argument("--post-rope-k", action="store_true", default=False,
+                    help="store keys POST-rotary: the deployed kernel skips "
+                         "all rotation work (zero-rotation speed mode). "
+                         "Calibration then fits roped activations; the "
+                         "reference scheme (and default) is pre-RoPE")
 
 
 def add_parallel_args(ap: argparse.ArgumentParser):

@@ -42,6 +42,8 @@ def main(argv=None):
         max_len=max(ctxs) + 64, sink=qs.first_few_fp16, kernel=args.kernel,
         head_group=getattr(args, 'head_group', 4),
         codes=getattr(args, 'codes', 'nuq'),
+        post_rope_k=(getattr(args, 'post_rope_k', False)
+                     or bool(qs.meta.get('post_rope_k', False))),
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 

@@ -173,6 +173,11 @@ class SimQuantConfig:
     first_few_fp16: int = 0
     v_mode: str = "topk"  # or "percentile"
     qnorm: bool = False
+    post_rope_k: bool = False  # quantize keys AFTER rotary embedding.
+    #   The reference quantizes pre-RoPE (the paper's per-channel insight);
+    #   post-RoPE storage is the TPU speed mode: the deployed kernel skips
+    #   the per-element rotation entirely and per-channel scales fold into
+    #   the query. Calibrate on ROPED activations (rope_k_activations).
 
 
 @dataclass
@@ -182,7 +187,8 @@ class SimQuantParams:
 
 
 def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
-                             cap_per_side=2, head_group=1) -> SimQuantParams:
+                             cap_per_side=2, head_group=1,
+                             post_rope_k=None) -> SimQuantParams:
     """Build stacked simulated-quant params from a QuantizerSet artifact.
     ``n_kv_heads`` sets the per-(token, kv-head) outlier budget granularity
     and ``cap_per_side`` the per-head budget — pass the model's kv-head
@@ -226,6 +232,10 @@ def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
         first_few_fp16=qs.first_few_fp16,
         v_mode=v_mode,
         qnorm=qnorm,
+        post_rope_k=(
+            bool(qs.meta.get("post_rope_k", False))
+            if post_rope_k is None else post_rope_k
+        ),
     )
     return SimQuantParams(arrays=arrays, config=cfg)
 
@@ -456,7 +466,8 @@ def forward(
 
         if simquant is not None:
             sq = scanned["sq"]
-            k = simquant_k(k, sq, sq_cfg)
+            if not sq_cfg.post_rope_k:
+                k = simquant_k(k, sq, sq_cfg)
             v = simquant_v(v, sq, sq_cfg)
 
         q = q.reshape(B, T, cfg.n_heads, cfg.d_head)
@@ -464,6 +475,13 @@ def forward(
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if simquant is not None and sq_cfg.post_rope_k:
+            # post-RoPE K scheme: fake-quantize the ROPED keys (the same
+            # per-channel static machinery, calibrated on roped activations)
+            k = simquant_k(
+                k.reshape(B, T, cfg.n_kv_heads * cfg.d_head),
+                scanned["sq"], sq_cfg,
+            ).reshape(B, T, cfg.n_kv_heads, cfg.d_head)
 
         attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
         x = x + attn @ lp["wo"]

@@ -289,7 +289,8 @@ def decode_attention(
     # ---- append K ----
     k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
     k_roped = k_h * cos[:, None] + rotate_half(k_h) * sin[:, None]
-    codes_k, k_words = quantize_k(k_new, lq, dcfg)
+    k_store = k_roped.reshape(B, Hkv * Dh) if dcfg.post_rope_k else k_new
+    codes_k, k_words = quantize_k(k_store, lq, dcfg)
 
     k_sink = cache_l.k_sink
     v_sink = cache_l.v_sink
@@ -326,6 +327,7 @@ def decode_attention(
         from .pallas import qk_fused
 
         assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
+        assert not dcfg.post_rope_k, "two-pass kernels rope in-kernel"
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(
                 q1, kp1, ow1, lq.k_range, lq.k_offset, lq.k_lut_dec,
@@ -334,9 +336,12 @@ def decode_attention(
         )(q_rot, k_planes, kv_out)
     else:
         k_full = dequant_k_full(cache_tmp, lq, dcfg)
-        pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
-        ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
-        kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
+        if dcfg.post_rope_k:
+            kx = k_full  # keys stored post-RoPE: no rotation at score time
+        else:
+            pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
+            ck, sk = rope_cos_sin(pos_cache, mcfg)  # (Tc, Dh)
+            kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
         dense = jnp.einsum("bhgd,bhtd->bhgt", q_rot, kx)
     dense = dense * inv
     scores = dense
@@ -419,7 +424,11 @@ def append_token_flash(
     not_sink = ~in_sink
     p = jnp.clip(pos - S, 0, Tc - 1)
 
-    codes_k, k_words = quantize_k(k_new, lq, dcfg)  # (B,Hkv,D)
+    cos, sin = rope_cos_sin(pos, mcfg)  # (B, Dh)
+    k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
+    k_roped = k_h * cos[:, None] + rotate_half(k_h) * sin[:, None]
+    k_store = k_roped.reshape(B, Hkv * Dh) if dcfg.post_rope_k else k_new
+    codes_k, k_words = quantize_k(k_store, lq, dcfg)  # (B,Hkv,D)
     codes_v, v_words, v_sc, v_off = quantize_v(v_new, lq, dcfg)
 
     def put_planes(planes, codes):
@@ -478,9 +487,6 @@ def append_token_flash(
     out["v_offset"] = put_scalar(arrs["v_offset"], v_off)
 
     if S > 0:
-        cos, sin = rope_cos_sin(pos, mcfg)  # (B, Dh)
-        k_h = k_new.reshape(B, Hkv, Dh).astype(jnp.float32)
-        k_roped = k_h * cos[:, None] + rotate_half(k_h) * sin[:, None]
         v_h = v_new.reshape(B, Hkv, Dh).astype(jnp.float32)
         ps = jnp.clip(pos, 0, S - 1)
 
@@ -528,12 +534,12 @@ def prefill_pack(
     Tpad = ((Tp + 127) // 128) * 128
     assert Tp <= Tc
 
+    cos, sin = rope_cos_sin(jnp.arange(T0, dtype=jnp.int32), mcfg)  # (T0, Dh)
     k_sink = cache_l.k_sink
     v_sink = cache_l.v_sink
     if S > 0:
-        cos, sin = rope_cos_sin(jnp.arange(S, dtype=jnp.int32), mcfg)
         k_s = k[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32)
-        k_s = k_s * cos[:, None] + rotate_half(k_s) * sin[:, None]
+        k_s = k_s * cos[:S, None] + rotate_half(k_s) * sin[:S, None]
         k_sink = k_s.transpose(0, 2, 1, 3)
         v_sink = v[:, :S].reshape(B, S, Hkv, Dh).astype(jnp.float32).transpose(0, 2, 1, 3)
 
@@ -557,7 +563,13 @@ def prefill_pack(
             arr, rows.transpose(0, 2, 3, 1).astype(arr.dtype), 0, axis=3
         )
 
-    codes_k, k_words = quantize_k(k[:, S:], lq, dcfg)
+    if dcfg.post_rope_k:
+        kh = k.reshape(B, T0, Hkv, Dh).astype(jnp.float32)
+        kh = kh * cos[:, None] + rotate_half(kh) * sin[:, None]
+        k_store = kh.reshape(B, T0, Hkv * Dh)[:, S:]
+    else:
+        k_store = k[:, S:]
+    codes_k, k_words = quantize_k(k_store, lq, dcfg)
     codes_v, v_words, v_sc, v_off = quantize_v(v[:, S:], lq, dcfg)
     kv_words = (
         jnp.concatenate([k_words, v_words], axis=-1)
@@ -626,6 +638,10 @@ def block_attention(
         )
 
     kq, vq = k_new[:, ns:], v_new[:, ns:]
+    if dcfg.post_rope_k:
+        kh = k_new.reshape(B, Tq_all, Hkv, Dh).astype(jnp.float32)
+        kh = kh * cos[:, None] + rotate_half(kh) * sin[:, None]
+        kq = kh.reshape(B, Tq_all, Hkv * Dh)[:, ns:]
     codes_k, k_words = quantize_k(kq, lq, dcfg)  # (B,Tq,Hkv,D)
     codes_v, v_words, v_sc, v_off = quantize_v(vq, lq, dcfg)
 
@@ -694,6 +710,7 @@ def block_attention(
         from .pallas import qk_fused
 
         assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
+        assert not dcfg.post_rope_k, "two-pass kernels rope in-kernel"
         qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(
@@ -703,9 +720,12 @@ def block_attention(
         )(qf, k_planes, kv_out).reshape(B, Hkv, G, Tq_all, Tc)
     else:
         k_full = dequant_k_full(new_cache, lq, dcfg)
-        pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
-        ck, sk = rope_cos_sin(pos_cache, mcfg)
-        kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
+        if dcfg.post_rope_k:
+            kx = k_full
+        else:
+            pos_cache = S + jnp.arange(Tc, dtype=jnp.int32)
+            ck, sk = rope_cos_sin(pos_cache, mcfg)
+            kx = k_full * ck[None, None] + rotate_half_axis(k_full, axis=-1) * sk[None, None]
         dense = jnp.einsum("bhgqd,bhtd->bhgqt", q_rot, kx)
     dense = dense * inv
     scores = dense

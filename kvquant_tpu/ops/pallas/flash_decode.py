@@ -110,7 +110,7 @@ def _outlier_m_group(ow, D: int, BT: int, hg: int):
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
-                  codes="nuq"):
+                  codes="nuq", post_k=False):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
      ksink_ref, vsink_ref, klut_ref, vlut_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
@@ -136,13 +136,14 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     # ---- per-(b, t) shared state: RoPE tiles + additive validity mask ----
     @pl.when((g == 0) & live)
     def _():
-        d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t * BT
-        inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
-        ang = ((S + tt).astype(jnp.float32) / scaling) * inv_freq
-        c, s = jnp.cos(ang), jnp.sin(ang)
-        cs_ref[0] = jnp.concatenate([c, c], axis=1)
-        cs_ref[1] = jnp.concatenate([s, s], axis=1)
+        if not post_k:  # post-RoPE storage needs no rotation tiles at all
+            d = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 1)
+            tt = jax.lax.broadcasted_iota(jnp.int32, (BT, half), 0) + t * BT
+            inv_freq = theta ** (-d.astype(jnp.float32) * 2.0 / D)
+            ang = ((S + tt).astype(jnp.float32) / scaling) * inv_freq
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            cs_ref[0] = jnp.concatenate([c, c], axis=1)
+            cs_ref[1] = jnp.concatenate([s, s], axis=1)
         idx = jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 1) + t * BT
         if Tq == 1:
             rowpos = pos
@@ -195,8 +196,9 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     # ---- live blocks: the fused dense + sparse attention update ----
     @pl.when(live)
     def _():
-        cos = cs_ref[0]
-        sin = cs_ref[1]
+        if not post_k:
+            cos = cs_ref[0]
+            sin = cs_ref[1]
         # group outlier addends built ONCE for all hg heads of this step
         if sparse:
             Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
@@ -222,8 +224,11 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 kd = kd * krng_ref[0, j] + koff_ref[0, j]
             if sparse:
                 kd += Mk[:, j * D:(j + 1) * D]
-            k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
-            kx = kd * cos + k_rot * sin
+            if post_k:
+                kx = kd  # keys stored post-RoPE: zero rotation ops
+            else:
+                k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
+                kx = kd * cos + k_rot * sin
 
             s_blk = jax.lax.dot_general(
                 q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
@@ -337,6 +342,7 @@ def flash_attention(
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
+        post_k=dcfg.post_rope_k,
     )
     # one grid step processes a whole head GROUP (hg heads): the group's
     # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)

@@ -32,12 +32,17 @@ from .nuq import nearest_values, nf_signposts
 from .outliers import outlier_budget_per_side
 
 
-def collect_kv_activations(params, cfg, batches, forward_fn=None):
+def collect_kv_activations(params, cfg, batches, forward_fn=None,
+                           rope_k=False):
     """Run the model over calibration batches capturing pre-RoPE K / V
     projection outputs. Returns (k_acts, v_acts): (L, N_tokens, C) fp32,
     token rows concatenated across batches (the layer-streaming Catcher
     pattern of quant/llama_simquant.py:148-291 collapsed into one jitted
-    forward — activations for all layers come out of a single scan)."""
+    forward — activations for all layers come out of a single scan).
+
+    ``rope_k=True`` applies rotary embedding to the captured keys at their
+    sequence positions BEFORE flattening — the calibration signal for the
+    post-RoPE K storage scheme (DeployConfig.post_rope_k)."""
     from ..models import get_forward
 
     forward_fn = forward_fn or get_forward(cfg)
@@ -48,10 +53,25 @@ def collect_kv_activations(params, cfg, batches, forward_fn=None):
     ks, vs = [], []
     for tokens in batches:
         aux = fwd(params, tokens)
-        L = aux["k_acts"].shape[0]
-        ks.append(aux["k_acts"].reshape(L, -1, aux["k_acts"].shape[-1]))
+        k_act = aux["k_acts"]  # (L, B, T, C)
+        if rope_k:
+            k_act = rope_k_activations(k_act, cfg)
+        L = k_act.shape[0]
+        ks.append(k_act.reshape(L, -1, k_act.shape[-1]))
         vs.append(aux["v_acts"].reshape(L, -1, aux["v_acts"].shape[-1]))
     return jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1)
+
+
+def rope_k_activations(k_acts, cfg):
+    """(L, B, T, C) pre-RoPE keys -> the same, rotated at positions 0..T-1."""
+    from ..models.llama import rope_cos_sin, rotate_half
+
+    L, B, T, C = k_acts.shape
+    Hkv, Dh = cfg.n_kv_heads, cfg.d_head
+    cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), cfg)  # (T, Dh)
+    kh = k_acts.reshape(L, B, T, Hkv, Dh).astype(jnp.float32)
+    kh = kh * cos[:, None] + rotate_half(kh) * sin[:, None]
+    return kh.reshape(L, B, T, C)
 
 
 def _qnorm_affine(xn, q, keep_w):
