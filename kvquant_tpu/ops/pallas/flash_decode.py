@@ -211,30 +211,54 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             h = g * hg + j
             q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
 
-            # K: unpack + dequant + outliers (pre-RoPE) + RoPE + QK^T
-            if codes == "nuq":
-                kwords = kp_ref[0, 0, j].astype(jnp.uint32)
-                kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
-                kd = kd * krng_ref[0, j] + koff_ref[0, j]
+            if post_k and codes != "nuq":
+                # SPEED-OF-LIGHT K PATH (post-RoPE intN): fold the
+                # per-channel affine into the QUERY — K's per-element work
+                # is ONE convert. score = (q*step).c + q.zero (per-row
+                # scalar); outliers contract in their own MXU dot (the MXU
+                # has headroom; the VPU is the bound).
+                qs_f = q * krng_ref[0, j]          # (Q, D) — Q rows only
+                zq = jnp.sum(q * koff_ref[0, j], axis=1, keepdims=True)
+                kc = kp_ref[0, 0, j].astype(ct)    # (BT, D): the 1 op
+                s_blk = jax.lax.dot_general(
+                    qs_f.astype(ct), kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if sparse:
+                    s_blk += jax.lax.dot_general(
+                        q.astype(ct),
+                        Mk[:, j * D:(j + 1) * D].astype(ct),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                s_blk = (s_blk + zq) * inv + mask_ref[...]
             else:
-                # hardware intN codes: dequant is ONE convert + fma — the
-                # wrapper folds the affine codebook into krng/koff
-                # (k_step/k_zero), so this is the entire K reconstruction
-                kd = kp_ref[0, 0, j].astype(jnp.float32)
-                kd = kd * krng_ref[0, j] + koff_ref[0, j]
-            if sparse:
-                kd += Mk[:, j * D:(j + 1) * D]
-            if post_k:
-                kx = kd  # keys stored post-RoPE: zero rotation ops
-            else:
-                k_rot = jnp.concatenate([-kd[:, half:], kd[:, :half]], axis=1)
-                kx = kd * cos + k_rot * sin
+                # K: unpack + dequant + outliers + [RoPE] + QK^T
+                if codes == "nuq":
+                    kwords = kp_ref[0, 0, j].astype(jnp.uint32)
+                    kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
+                    kd = kd * krng_ref[0, j] + koff_ref[0, j]
+                else:
+                    # hardware intN codes: dequant is ONE convert + fma —
+                    # the wrapper folds the affine codebook into krng/koff
+                    # (k_step/k_zero), the entire K reconstruction
+                    kd = kp_ref[0, 0, j].astype(jnp.float32)
+                    kd = kd * krng_ref[0, j] + koff_ref[0, j]
+                if sparse:
+                    kd += Mk[:, j * D:(j + 1) * D]
+                if post_k:
+                    kx = kd  # keys stored post-RoPE: zero rotation ops
+                else:
+                    k_rot = jnp.concatenate(
+                        [-kd[:, half:], kd[:, :half]], axis=1
+                    )
+                    kx = kd * cos + k_rot * sin
 
-            s_blk = jax.lax.dot_general(
-                q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * inv  # (Q, BT)
-            s_blk = s_blk + mask_ref[...]
+                s_blk = jax.lax.dot_general(
+                    q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv  # (Q, BT)
+                s_blk = s_blk + mask_ref[...]
 
             # online softmax update
             m_old = m_ref[h][:, :1]  # (Q, 1)
