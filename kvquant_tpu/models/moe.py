@@ -203,7 +203,8 @@ def forward(
 
         if simquant is not None:
             sq = scanned["sq"]
-            k = simquant_k(k, sq, sq_cfg)
+            if not sq_cfg.post_rope_k:
+                k = simquant_k(k, sq, sq_cfg)
             v = simquant_v(v, sq, sq_cfg)
 
         q = q.reshape(B, T, cfg.n_heads, cfg.d_head)
@@ -211,6 +212,11 @@ def forward(
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.d_head)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if simquant is not None and sq_cfg.post_rope_k:
+            k = simquant_k(
+                k.reshape(B, T, cfg.n_kv_heads * cfg.d_head),
+                scanned["sq"], sq_cfg,
+            ).reshape(B, T, cfg.n_kv_heads, cfg.d_head)
 
         attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
         x = x + attn @ lp["wo"]
