@@ -75,6 +75,9 @@ class DeployConfig:
     #            VPU-bound 0.4x and beating the fp16 baseline. bits <= 4.
     #   "int8" — same affine path in an int8 container (bits <= 8); robust
     #            fallback where int4 tiling is unsupported, 2x compression.
+    page_tokens: int = 1024  # paged-pool page size (kvquant_tpu.paged):
+    #   tokens per page == the flash kernel's token block when paging.
+    #   Multiple of 256; 1024 is the measured VMEM sweet spot on v5e.
     post_rope_k: bool = False  # store keys POST-rotary. The reference
     #   quantizes pre-RoPE (per-channel distributions are cleaner there);
     #   post-RoPE storage lets the deployed kernel skip the per-element

@@ -108,6 +108,28 @@ def _outlier_m_group(ow, D: int, BT: int, hg: int):
     return M
 
 
+def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset, v_scale, v_offset):
+    """Fold the affine codebook lut[c] = a + b*c (signed codes c_s =
+    c - bias) into the per-channel / per-token scale arrays, so the intN
+    kernel's dequant is exactly `cvt(code) * scale + zero`:
+      K: x = (b*hr)*c_s + (a + bias*b)*hr + zp
+      V: x = (b*s_t)*c_s + (a + bias*b)*s_t + off_t
+    k_range/k_offset: (L, Hkv, D); v_scale/v_offset: (L, *token dims)."""
+    K = 2 ** dcfg.bits
+    bias = dcfg.code_bias
+    kb = (k_lut[:, -1] - k_lut[:, 0]) / (K - 1)  # (L,)
+    ka = k_lut[:, 0] + bias * kb
+    vb = (v_lut[:, -1] - v_lut[:, 0]) / (K - 1)
+    va = v_lut[:, 0] + bias * vb
+    vexp = (slice(None),) + (None,) * (v_scale.ndim - 1)
+    return (
+        kb[:, None, None] * k_range,
+        ka[:, None, None] * k_range + k_offset,
+        vb[vexp] * v_scale,
+        va[vexp] * v_scale + v_offset,
+    )
+
+
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
                   codes="nuq", post_k=False):
@@ -334,24 +356,8 @@ def flash_attention(
         Tc = k_planes.shape[-2] * 32
     else:
         Tc = k_planes.shape[-2]
-        # fold the affine codebook lut[c] = a + b*c (signed codes c_s =
-        # c - bias) into the per-channel / per-token scale arrays, so the
-        # kernel's dequant is exactly `cvt(code) * scale + zero`:
-        #   K: x = (b*hr)*c_s + (a + bias*b)*hr + zp
-        #   V: x = (b*s_t)*c_s + (a + bias*b)*s_t + off_t
-        K = 2 ** bits
-        bias = dcfg.code_bias
-        kb = (k_lut[:, -1] - k_lut[:, 0]) / (K - 1)  # (L,)
-        ka = k_lut[:, 0] + bias * kb
-        vb = (v_lut[:, -1] - v_lut[:, 0]) / (K - 1)
-        va = v_lut[:, 0] + bias * vb
-        k_range, k_offset = (
-            kb[:, None, None] * k_range,
-            ka[:, None, None] * k_range + k_offset,
-        )
-        v_scale, v_offset = (
-            vb[:, None, None] * v_scale,
-            va[:, None, None] * v_scale + v_offset,
+        k_range, k_offset, v_scale, v_offset = fold_affine(
+            dcfg, k_lut, v_lut, k_range, k_offset, v_scale, v_offset
         )
     BT = _pick_bt(Tc, block_tokens)
     nt = Tc // BT
