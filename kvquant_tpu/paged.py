@@ -574,10 +574,13 @@ def paged_decode_step(
 
 class PagedServer:
     """Serving v3: one page pool shared by all slots, HBM proportional to
-    cached tokens. Admission runs the existing whole-prompt prefill into a
-    temporary contiguous 1-sequence cache, then copies it page-granularly
-    into freshly allocated pages (chunked paged admission is a later
-    refinement); retirement returns pages to the free list.
+    cached tokens. Admission fills a temporary contiguous 1-sequence cache
+    — whole-prompt (admit_mode="sync") or ONE quantized-trajectory chunk
+    per server step (admit_mode="chunked", the non-blocking default: active
+    slots keep decoding while a long prompt streams in) — then copies it
+    page-granularly into freshly allocated pages. Pages are reserved when
+    the admission STARTS (a started admission can never deadlock waiting
+    for pages) and returned to the free list at retirement.
 
     Host-side state: the free list, each slot's page-table row (int32
     numpy), positions, and budgets. The compute path is ONE jitted
@@ -585,12 +588,18 @@ class PagedServer:
     """
 
     def __init__(self, params, cfg, dcfg: DeployConfig, dq, n_pages: int,
-                 n_slots: int, max_pages_per_slot: int, seed: int = 0):
+                 n_slots: int, max_pages_per_slot: int, seed: int = 0,
+                 admit_mode: str = "chunked", admit_chunk: int = 256):
         from . import engine
 
         self.params, self.cfg, self.dcfg, self.dq = params, cfg, dcfg, dq
         self.n_slots = n_slots
         self.MP = max_pages_per_slot
+        self.admit_mode = admit_mode
+        self.admit_chunk = admit_chunk
+        self.admitting = []
+        self._chunk_fns = {}  # tmp cache_tokens -> jitted prefill_chunk
+        assert admit_chunk % 128 == 0
         self.pool = create_paged_pool(dcfg, cfg.n_layers, n_pages, n_slots)
         self.free = list(range(n_pages))
         import numpy as _np
@@ -621,53 +630,140 @@ class PagedServer:
         t = len(req.prompt) + req.max_new_tokens - self.dcfg.sink
         return max(1, -(-t // self.dcfg.page_tokens))
 
-    def _admit(self):
+    def _claim(self):
+        """Pop the queue head if a slot AND its pages are available.
+        Returns (req, slot, pages, tmp_dcfg) or None."""
         import dataclasses as _dc
 
-        while self.queue:
-            free_slots = [b for b in range(self.n_slots) if not self.active[b]]
-            if not free_slots:
-                return
-            req = self.queue[0]
-            need = self._pages_needed(req)
-            assert need <= self.MP, (
-                f"request {req.rid} needs {need} pages > per-slot max {self.MP}"
-            )
-            if need > len(self.free):
-                return
-            self.queue.pop(0)
-            b = free_slots[0]
-            pages = [self.free.pop() for _ in range(need)]
+        if not self.queue:
+            return None
+        busy = {a["slot"] for a in self.admitting}
+        free_slots = [b for b in range(self.n_slots)
+                      if not self.active[b] and b not in busy]
+        if not free_slots:
+            return None
+        req = self.queue[0]
+        need = self._pages_needed(req)
+        assert need <= self.MP, (
+            f"request {req.rid} needs {need} pages > per-slot max {self.MP}"
+        )
+        if need > len(self.free):
+            return None
+        self.queue.pop(0)
+        b = free_slots[0]
+        pages = [self.free.pop() for _ in range(need)]
+        tmp_len = self.dcfg.sink + need * self.dcfg.page_tokens
+        tmp_dcfg = _dc.replace(self.dcfg, max_len=tmp_len)
+        assert tmp_dcfg.cache_tokens % self.dcfg.page_tokens == 0
+        return req, b, pages, tmp_dcfg
 
-            # whole-prompt prefill into a temporary contiguous cache whose
-            # packed capacity is page-aligned, then page-granular copy
-            from .cache import create_cache
+    def _activate(self, req, b, pages, tmp_cache, logits_last):
+        arrs = {
+            f.name: getattr(tmp_cache, f.name)
+            for f in dataclasses.fields(type(tmp_cache)) if f.name != "length"
+        }
+        self.pool = write_pages_from_cache(
+            self.pool, arrs, jnp.asarray(pages, jnp.int32), b, self.dcfg
+        )
+        self.table[b, :len(pages)] = pages
+        self.table[b, len(pages):] = pages[-1]  # clamp-safe padding
+        self.pos[b] = len(req.prompt)
+        self.active[b] = True
+        self.slot_req[b] = req
+        self.slot_pages[b] = pages
+        from .serve import Completion
 
-            tmp_len = self.dcfg.sink + need * self.dcfg.page_tokens
-            tmp_dcfg = _dc.replace(self.dcfg, max_len=tmp_len)
-            assert tmp_dcfg.cache_tokens % self.dcfg.page_tokens == 0
+        self.completions[req.rid] = Completion(rid=req.rid)
+        self._last_tok[b] = int(self._np.asarray(logits_last).argmax())
+
+    def _admit_sync(self):
+        from .cache import create_cache
+
+        while True:
+            claim = self._claim()
+            if claim is None:
+                return
+            req, b, pages, tmp_dcfg = claim
             tmp = create_cache(tmp_dcfg, self.cfg.n_layers, 1)
             prompt = jnp.asarray(req.prompt, jnp.int32)[None]
             tmp, logits = self._engine.prefill(
                 self.params, self.cfg, tmp_dcfg, self.dq, tmp, prompt
             )
-            arrs = {
-                f.name: getattr(tmp, f.name)
-                for f in dataclasses.fields(type(tmp)) if f.name != "length"
-            }
-            self.pool = write_pages_from_cache(
-                self.pool, arrs, jnp.asarray(pages, jnp.int32), b, self.dcfg
-            )
-            self.table[b, :need] = pages
-            self.table[b, need:] = pages[-1]  # clamp-safe padding
-            self.pos[b] = len(req.prompt)
-            self.active[b] = True
-            self.slot_req[b] = req
-            self.slot_pages[b] = pages
-            from .serve import Completion
+            self._activate(req, b, pages, tmp, logits[0])
 
-            self.completions[req.rid] = Completion(rid=req.rid)
-            self._last_tok[b] = int(self._np.asarray(logits[0]).argmax())
+    # -- chunked (non-blocking) paged admission ------------------------
+    def _start_admissions(self):
+        from .cache import create_cache
+
+        while True:
+            claim = self._claim()
+            if claim is None:
+                return
+            req, b, pages, tmp_dcfg = claim
+            S, chunk = self.dcfg.sink, self.admit_chunk
+            T0 = len(req.prompt)
+            assert T0 > S, "prompt must extend beyond the sink prefix"
+            n_chunks = -(-(T0 - S) // chunk)
+            toks = self._np.zeros((1, S + n_chunks * chunk), self._np.int32)
+            toks[0, :T0] = req.prompt
+            self.admitting.append(dict(
+                req=req, slot=b, pages=pages, tmp_dcfg=tmp_dcfg,
+                cache=create_cache(tmp_dcfg, self.cfg.n_layers, 1),
+                toks=toks, n_chunks=n_chunks, ci=0,
+            ))
+
+    def _chunk_fn(self, tmp_dcfg):
+        key = tmp_dcfg.cache_tokens
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = jax.jit(
+                lambda p, d, c, tok, pos0, sf: self._engine.prefill_chunk(
+                    p, self.cfg, tmp_dcfg, d, c, tok, pos0, sf
+                ),
+                static_argnums=(5,),
+                donate_argnums=(2,),
+            )
+        return self._chunk_fns[key]
+
+    def _step_admission(self, adm) -> bool:
+        """Run ONE quantized-trajectory prompt chunk; True when finished."""
+        S, chunk = self.dcfg.sink, self.admit_chunk
+        ci = adm["ci"]
+        if ci == 0:
+            blk = jnp.asarray(adm["toks"][:, : S + chunk])
+            pos0, sf = jnp.int32(S), True
+        else:
+            a = S + ci * chunk
+            blk = jnp.asarray(adm["toks"][:, a : a + chunk])
+            pos0, sf = jnp.int32(a), False
+        adm["cache"], logits = self._chunk_fn(adm["tmp_dcfg"])(
+            self.params, self.dq, adm["cache"], blk, pos0, sf
+        )
+        adm["ci"] += 1
+        if adm["ci"] < adm["n_chunks"]:
+            return False
+        T0 = len(adm["req"].prompt)
+        last = (T0 - 1) - (S + (adm["n_chunks"] - 1) * chunk) \
+            if adm["n_chunks"] > 1 else T0 - 1
+        adm["last_logits"] = self._np.asarray(logits[0, last])
+        return True
+
+    def _admit_chunked(self):
+        self._start_admissions()
+        if not self.admitting:
+            return
+        # advance ONE admission per server step: decode stall per admit is
+        # bounded by a single chunk's compute sharing the step
+        adm = self.admitting[0]
+        if self._step_admission(adm):
+            self.admitting.pop(0)
+            self._activate(adm["req"], adm["slot"], adm["pages"],
+                           adm["cache"], adm["last_logits"])
+
+    def _admit(self):
+        if self.admit_mode == "chunked":
+            self._admit_chunked()
+        else:
+            self._admit_sync()
 
     def _retire(self, b):
         for pg in self.slot_pages[b]:
@@ -679,7 +775,7 @@ class PagedServer:
 
     def step(self) -> bool:
         self._admit()
-        if not self.active.any() and not self.queue:
+        if not self.active.any() and not self.queue and not self.admitting:
             return False
         self.pool, logits = self._step(
             self.pool,

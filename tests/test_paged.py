@@ -127,7 +127,7 @@ def test_paged_server_matches_isolated_generation():
     # pool with room for only 2 slots / 3 pages: the later requests must
     # wait for retirement and REUSE freed pages
     srv = PagedServer(params, cfg, dcfg, dq, n_pages=3, n_slots=2,
-                      max_pages_per_slot=2)
+                      max_pages_per_slot=2, admit_mode="sync")
     comps = srv.run(list(reqs), max_steps=200)
 
     for r in reqs:
@@ -138,3 +138,35 @@ def test_paged_server_matches_isolated_generation():
         got = comps[r.rid].tokens
         assert got == list(np.asarray(want[0])), (r.rid, got, np.asarray(want[0]))
     assert sorted(srv.free) == [0, 1, 2]  # every page returned
+
+
+def test_paged_server_chunked_admission():
+    """Non-blocking admission: prompts stream in one quantized-trajectory
+    chunk per step; completions must match isolated generation through the
+    SAME (quantized) prefill path, and pages must all return."""
+    cfg = TINY_LLAMA
+    params, dq, dcfg = _setup(cfg)
+
+    rng = np.random.default_rng(4)
+    # prompts longer than one admit chunk so admission really interleaves
+    reqs = [
+        Request(rid=i,
+                prompt=rng.integers(0, cfg.vocab_size, size=n).astype(np.int32),
+                max_new_tokens=m)
+        for i, (n, m) in enumerate([(150, 5), (40, 4), (200, 6)])
+    ]
+
+    srv = PagedServer(params, cfg, dcfg, dq, n_pages=4, n_slots=2,
+                      max_pages_per_slot=2, admit_mode="chunked",
+                      admit_chunk=128)
+    comps = srv.run(list(reqs), max_steps=300)
+
+    for r in reqs:
+        want, _ = engine.generate(
+            params, cfg, dcfg, dq, jnp.asarray(r.prompt)[None],
+            engine.GenerateConfig(max_new_tokens=r.max_new_tokens),
+            prefill_mode="quantized",
+        )
+        got = comps[r.rid].tokens
+        assert got == list(np.asarray(want[0])), (r.rid, got, np.asarray(want[0]))
+    assert sorted(srv.free) == [0, 1, 2, 3]
