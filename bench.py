@@ -54,7 +54,10 @@ def main():
     dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
     blk = int(os.environ.get("BENCH_BT", 1024))
     codes = os.environ.get("BENCH_CODES", "nuq")  # nuq | int4 | int8
+    post_rope = os.environ.get("BENCH_POSTROPE", "0") == "1"
     scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
+    if post_rope:
+        scheme += "_postk"
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -84,7 +87,7 @@ def main():
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
         include_sparse=sparse, head_group=head_group, dot_bf16=dot_bf16,
-        codes=codes,
+        codes=codes, post_rope_k=post_rope,
     )
     if kernel == "flash":
         import kvquant_tpu.ops.pallas.flash_decode as _fd
@@ -153,22 +156,55 @@ def main():
 
         from functools import partial
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def q_decode_loop(p, d, c):
-            tok = jnp.zeros((batch,), jnp.int32)
-            def body(carry, i):
-                c, tok = carry
-                c, logits = engine.decode_step(p, cfg, dcfg, d, c, tok, ctx + i)
-                return (c, jnp.argmax(logits, -1).astype(jnp.int32)), logits[0, 0]
-            (c, _), outs = jax.lax.scan(
-                body, (c, tok), jnp.arange(steps, dtype=jnp.int32)
-            )
-            return outs, c
+        if codes == "int4":
+            # int4 arrays cannot cross the jit boundary through the axon
+            # tunnel client (S4 aval serialization recurses) — the cache is
+            # created INSIDE the jit (content-independent zeros, same as
+            # synth_cache) and never returned. Initialization is a one-time
+            # ~cache-bytes write inside the timed region (<2% of a 16-step
+            # loop at 32K). On a directly-attached TPU the ordinary
+            # donated-cache path below works for int4 too.
+            @jax.jit
+            def q_decode_loop(p, d):
+                c = synth_cache(jax.random.PRNGKey(2))
+                tok = jnp.zeros((batch,), jnp.int32)
+                def body(carry, i):
+                    c, tok = carry
+                    c, logits = engine.decode_step(
+                        p, cfg, dcfg, d, c, tok, ctx + i
+                    )
+                    return (
+                        (c, jnp.argmax(logits, -1).astype(jnp.int32)),
+                        logits[0, 0],
+                    )
+                (c, _), outs = jax.lax.scan(
+                    body, (c, tok), jnp.arange(steps, dtype=jnp.int32)
+                )
+                return outs
 
-        q_tps = timed(
-            q_decode_loop, lambda: synth_cache(jax.random.PRNGKey(2)),
-            params, dq,
-        ) * batch
+            out = q_decode_loop(params, dq)  # compile + first run
+            _ = float(out.sum())
+            t0 = time.perf_counter()
+            out = q_decode_loop(params, dq)
+            _ = float(out.sum())
+            q_tps = steps / (time.perf_counter() - t0) * batch
+        else:
+            @partial(jax.jit, donate_argnums=(2,))
+            def q_decode_loop(p, d, c):
+                tok = jnp.zeros((batch,), jnp.int32)
+                def body(carry, i):
+                    c, tok = carry
+                    c, logits = engine.decode_step(p, cfg, dcfg, d, c, tok, ctx + i)
+                    return (c, jnp.argmax(logits, -1).astype(jnp.int32)), logits[0, 0]
+                (c, _), outs = jax.lax.scan(
+                    body, (c, tok), jnp.arange(steps, dtype=jnp.int32)
+                )
+                return outs, c
+
+            q_tps = timed(
+                q_decode_loop, lambda: synth_cache(jax.random.PRNGKey(2)),
+                params, dq,
+            ) * batch
         log(f"quant decode {q_tps:.2f} tok/s aggregate (batch {batch})")
     tok0 = jnp.zeros((batch,), jnp.int32)
 

@@ -19,8 +19,15 @@ from .cache import KVCache, DeployConfig
 
 
 def save_cache(path: str, cache: KVCache, dcfg: DeployConfig) -> None:
+    def host(a):
+        # int4 is a JAX/ml_dtypes dtype with no stable npz representation:
+        # widen to int8 on disk (values are in [-8, 7], bit-exact roundtrip)
+        if str(a.dtype) == "int4":
+            a = a.astype(jnp.int8)
+        return np.asarray(a)
+
     arrays = {
-        f.name: np.asarray(getattr(cache, f.name))
+        f.name: host(getattr(cache, f.name))
         for f in dataclasses.fields(KVCache)
     }
     arrays["__dcfg__"] = np.frombuffer(
@@ -33,8 +40,12 @@ def save_cache(path: str, cache: KVCache, dcfg: DeployConfig) -> None:
 def load_cache(path: str) -> tuple[KVCache, DeployConfig]:
     with np.load(path) as z:
         dcfg = DeployConfig(**json.loads(bytes(z["__dcfg__"]).decode()))
-        cache = KVCache(**{
-            f.name: jnp.asarray(z[f.name])
-            for f in dataclasses.fields(KVCache)
-        })
+        arrays = {}
+        for f in dataclasses.fields(KVCache):
+            a = jnp.asarray(z[f.name])
+            if (dcfg.codes == "int4"
+                    and f.name in ("k_planes", "v_planes")):
+                a = a.astype(dcfg.code_dtype)
+            arrays[f.name] = a
+        cache = KVCache(**arrays)
     return cache, dcfg

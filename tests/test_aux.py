@@ -12,14 +12,14 @@ from kvquant_tpu.quant.calibration import collect_kv_activations, fit_quantizers
 from kvquant_tpu.utils.profiling import cost_analysis, device_timed
 
 
-def _calibrated(qnorm=False, bits=3):
+def _calibrated(qnorm=False, bits=3, mode="nuq"):
     cfg = TINY_LLAMA
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     cal = jax.random.randint(jax.random.PRNGKey(7), (2, 40), 0, cfg.vocab_size)
     k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
     qs = fit_quantizers(
         k_acts, v_acts, bits=bits, cap_outliers=True, first_few_fp16=5,
-        sample_seqlen=40, kmeans_iters=8, qnorm=qnorm,
+        sample_seqlen=40, kmeans_iters=8, qnorm=qnorm, mode=mode,
     )
     return cfg, params, qs
 
@@ -130,3 +130,28 @@ class TestNFMode:
         tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, cfg.vocab_size)
         ppl = perplexity(params, cfg, tokens, simquant=sq)
         assert np.isfinite(ppl) and ppl > 0
+
+
+class TestCacheIOInt4:
+    def test_int4_roundtrip(self, tmp_path):
+        """int4 containers widen to int8 on disk and restore bit-exact."""
+        cfg, params, qs = _calibrated(mode="uniform")
+        dcfg = DeployConfig.create(bits=4, n_kv_heads=cfg.n_kv_heads,
+                                   d_head=cfg.d_head, max_len=37, sink=5,
+                                   codes="int4")
+        dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 16), 0,
+                                    cfg.vocab_size)
+        cache = create_cache(dcfg, cfg.n_layers, 1)
+        cache, _ = engine.prefill(params, cfg, dcfg, dq, cache, tokens)
+
+        p = str(tmp_path / "cache4.npz")
+        cache_io.save_cache(p, cache, dcfg)
+        cache2, dcfg2 = cache_io.load_cache(p)
+        assert dcfg2 == dcfg
+        assert str(cache2.k_planes.dtype) == "int4"
+        _, l1 = engine.decode_step(params, cfg, dcfg, dq, cache,
+                                   tokens[:, -1], jnp.int32(16))
+        _, l2 = engine.decode_step(params, cfg, dcfg, dq, cache2,
+                                   tokens[:, -1], jnp.int32(16))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

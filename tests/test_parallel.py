@@ -175,3 +175,59 @@ def test_flash_attention_under_shard_map():
     )(*args, lut, jnp.int32(1), pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_int4_under_shard_map():
+    """Same head-sharded shard_map execution with the hardware int4
+    container: sharding specs name only leading axes, so the intN layout
+    rides the identical wrapper."""
+    import numpy as np
+    from functools import partial
+
+    from kvquant_tpu.cache import DeployConfig
+    from kvquant_tpu.models.config import ModelConfig
+    from kvquant_tpu.ops.packing import encode_outlier_words, store_codes_int
+    from kvquant_tpu.ops.pallas.flash_decode import flash_attention
+    from kvquant_tpu.parallel import make_mesh
+    from kvquant_tpu.parallel.shardings import flash_attention_sharded
+
+    L, B, Hkv, G, D, bits = 2, 2, 4, 1, 16, 4
+    Tc, S, hg = 256, 5, 2
+    dcfg = DeployConfig.create(bits=bits, n_kv_heads=Hkv, d_head=D,
+                               max_len=Tc + S, sink=S, kernel="flash",
+                               dot_bf16=False, head_group=hg, codes="int4")
+    mcfg = ModelConfig(vocab_size=64, d_model=Hkv * D, n_layers=L,
+                       n_heads=Hkv * G, n_kv_heads=Hkv, d_head=D, d_ff=32,
+                       max_seq_len=Tc + 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    J = dcfg.n_slots
+    codes4 = lambda k: store_codes_int(
+        jax.random.randint(k, (L, B, Hkv, Tc, D), 0, 16), bits,
+        dcfg.code_dtype,
+    )
+    args = (
+        jax.random.normal(ks[0], (B, Hkv, G, D), jnp.float32),
+        codes4(ks[1]),
+        codes4(ks[2]),
+        encode_outlier_words(
+            jax.random.normal(ks[3], (L, B, Hkv // hg, J, Tc)) * 0.1,
+            jax.random.randint(ks[4], (L, B, Hkv // hg, J, Tc), 0, hg * 128),
+        ),
+        jax.random.uniform(ks[5], (L, Hkv, D)) + 0.5,
+        jax.random.normal(ks[6], (L, Hkv, D)) * 0.1,
+        jax.random.uniform(ks[7], (L, B, Tc)) + 0.5,
+        jax.random.normal(ks[8], (L, B, Tc)) * 0.1,
+        jax.random.normal(ks[9], (L, B, Hkv, S, D)),
+        jax.random.normal(ks[10], (L, B, Hkv, S, D)),
+        jnp.stack([jnp.linspace(-1.0, 1.0, 2**bits)] * L),  # affine lut
+    )
+    lut = args[-1]
+    pos = jnp.array([100, 37], jnp.int32)
+
+    want = flash_attention(*args, lut, jnp.int32(1), pos, dcfg, mcfg)
+    mesh = make_mesh(dp=2, tp=2)
+    got = jax.jit(
+        partial(flash_attention_sharded, mesh, dcfg=dcfg, mcfg=mcfg)
+    )(*args, lut, jnp.int32(1), pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
