@@ -36,6 +36,13 @@ def main(argv=None):
     ap.add_argument("--max-new-tokens", type=int, default=32)
     ap.add_argument("--maxlen", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--paged", action="store_true",
+                    help="serving v3: page-pool cache (HBM proportional to "
+                         "cached tokens, free-list reuse) instead of the "
+                         "slot-pool cache")
+    ap.add_argument("--pages", type=int, default=None,
+                    help="pool pages (default: slots * pages-per-slot)")
+    ap.add_argument("--page-tokens", type=int, default=1024)
     args = ap.parse_args(argv)
 
     params, cfg = common.load_model(args)
@@ -64,8 +71,23 @@ def main(argv=None):
         for i in range(args.requests)
     ]
 
-    srv = serve.Server(params, cfg, dcfg, dq, n_slots=args.slots,
-                       admit_mode=args.admit_mode)
+    if args.paged:
+        import dataclasses as _dc
+
+        from ..paged import PagedServer, paged_pool_bytes
+
+        dcfg = _dc.replace(dcfg, page_tokens=args.page_tokens, kernel="flash")
+        mp = max(1, -(-(maxlen - dcfg.sink) // args.page_tokens))
+        n_pages = args.pages or args.slots * mp
+        srv = PagedServer(params, cfg, dcfg, dq, n_pages=n_pages,
+                          n_slots=args.slots, max_pages_per_slot=mp,
+                          admit_mode=args.admit_mode)
+        pb = paged_pool_bytes(dcfg, cfg.n_layers, n_pages, args.slots)
+        print(f"paged pool: {n_pages} pages x {args.page_tokens} tok "
+              f"({pb/2**20:.1f} MiB)")
+    else:
+        srv = serve.Server(params, cfg, dcfg, dq, n_slots=args.slots,
+                           admit_mode=args.admit_mode)
     t0 = time.perf_counter()
     results = srv.run(reqs)
     dt = time.perf_counter() - t0
