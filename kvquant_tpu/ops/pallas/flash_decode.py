@@ -108,25 +108,27 @@ def _outlier_m_group(ow, D: int, BT: int, hg: int):
     return M
 
 
-def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset, v_scale, v_offset):
+def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
     """Fold the affine codebook lut[c] = a + b*c (signed codes c_s =
-    c - bias) into the per-channel / per-token scale arrays, so the intN
-    kernel's dequant is exactly `cvt(code) * scale + zero`:
-      K: x = (b*hr)*c_s + (a + bias*b)*hr + zp
-      V: x = (b*s_t)*c_s + (a + bias*b)*s_t + off_t
-    k_range/k_offset: (L, Hkv, D); v_scale/v_offset: (L, *token dims)."""
+    c - bias) into the dequant parameters, so the intN kernel's dequant is
+    exactly `cvt(code) * scale + zero`:
+      K: x = (b*hr)*c_s + (a + bias*b)*hr + zp   — folded HERE into the
+         small (L, Hkv, D) per-channel arrays;
+      V: x = (b*s_t)*c_s + (a + bias*b)*s_t + off_t — (va, vb) returned as
+         per-layer SCALARS and applied in-kernel to the (1, BT) blocks (a
+         wrapper-side transform of the full (L, ..., Tc) per-token arrays
+         would redo all layers' tokens on every per-layer call).
+    Returns (k_range', k_offset', vab (L, 1, 2) [va, vb])."""
     K = 2 ** dcfg.bits
     bias = dcfg.code_bias
     kb = (k_lut[:, -1] - k_lut[:, 0]) / (K - 1)  # (L,)
     ka = k_lut[:, 0] + bias * kb
     vb = (v_lut[:, -1] - v_lut[:, 0]) / (K - 1)
     va = v_lut[:, 0] + bias * vb
-    vexp = (slice(None),) + (None,) * (v_scale.ndim - 1)
     return (
         kb[:, None, None] * k_range,
         ka[:, None, None] * k_range + k_offset,
-        vb[vexp] * v_scale,
-        va[vexp] * v_scale + v_offset,
+        jnp.stack([va, vb], axis=-1)[:, None, :],
     )
 
 
@@ -134,7 +136,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
                   codes="nuq", post_k=False):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
-     ksink_ref, vsink_ref, klut_ref, vlut_ref,
+     ksink_ref, vsink_ref, klut_ref, vlut_ref, vab_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
 
     b = pl.program_id(0)
@@ -228,6 +230,17 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         if codes == "nuq":
             klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
             vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
+            vsc_eff = vsc_ref[0, 0]   # (1, BT) per-token V scale/offset
+            voff_eff = voff_ref[0, 0]
+        else:
+            # apply the affine-codebook fold to THIS block's per-token V
+            # range scalars (va, vb ride in as per-layer SMEM scalars —
+            # transforming the full (L, ..., Tc) arrays wrapper-side would
+            # redo every layer's tokens on each per-layer call)
+            va = vab_ref[0, 0, 0]
+            vb = vab_ref[0, 0, 1]
+            vsc_eff = vsc_ref[0, 0] * vb
+            voff_eff = vsc_ref[0, 0] * va + voff_ref[0, 0]
 
         for j in range(hg):
             h = g * hg + j
@@ -300,12 +313,12 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 # probabilities: V dequant is ONE convert per element (the
                 # per-token affine ride in vsc/voff, transformed upstream)
                 vd = vp_ref[0, 0, j].astype(jnp.float32)
-            ps = p * vsc_ref[0, 0]  # fold per-token scale into probabilities
+            ps = p * vsc_eff  # fold per-token scale into probabilities
             pv = jax.lax.dot_general(
                 ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Q, D)
-            pv = pv + jnp.sum(p * voff_ref[0, 0], axis=-1, keepdims=True)
+            pv = pv + jnp.sum(p * voff_eff, axis=-1, keepdims=True)
             if sparse:
                 pv += jax.lax.dot_general(
                     p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
@@ -352,12 +365,14 @@ def flash_attention(
     B, Hkv, Q, D = q_rot.shape
     assert Q % Tq == 0
     bits = dcfg.bits
+    L = k_planes.shape[0]
     if dcfg.codes == "nuq":
         Tc = k_planes.shape[-2] * 32
+        vab = jnp.zeros((L, 1, 2), jnp.float32)  # unread in nuq mode
     else:
         Tc = k_planes.shape[-2]
-        k_range, k_offset, v_scale, v_offset = fold_affine(
-            dcfg, k_lut, v_lut, k_range, k_offset, v_scale, v_offset
+        k_range, k_offset, vab = fold_affine(
+            dcfg, k_lut, v_lut, k_range, k_offset
         )
     BT = _pick_bt(Tc, block_tokens)
     nt = Tc // BT
@@ -440,6 +455,8 @@ def flash_attention(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K), im(lambda li, b, t, g: (li, 0, 0)),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), im(lambda li, b, t, g: (li, 0, 0)),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
@@ -454,7 +471,6 @@ def flash_attention(
     )
 
     if S == 0:  # dummy 1-row sink blocks (never read: S==0 skips the init dot)
-        L = k_planes.shape[0]
         k_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
         v_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
 
@@ -478,6 +494,7 @@ def flash_attention(
         v_sink.astype(jnp.float32),
         k_lut.astype(jnp.float32)[:, None, :],
         v_lut.astype(jnp.float32)[:, None, :],
+        vab,
     )
 
 

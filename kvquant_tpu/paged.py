@@ -135,10 +135,13 @@ def paged_flash_decode(
     v_offset = pool.v_offset
     k_lut = dq.k_lut_dec.astype(jnp.float32)
     v_lut = dq.v_lut_dec.astype(jnp.float32)
+    L = pool.k_planes.shape[0]
     if dcfg.codes != "nuq":
-        k_range, k_offset, v_scale, v_offset = fold_affine(
-            dcfg, k_lut, v_lut, k_range, k_offset, v_scale, v_offset
+        k_range, k_offset, vab = fold_affine(
+            dcfg, k_lut, v_lut, k_range, k_offset
         )
+    else:
+        vab = jnp.zeros((L, 1, 2), jnp.float32)
 
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=1, Hkv=Hkv,
@@ -208,6 +211,8 @@ def paged_flash_decode(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K), im(lambda li_, b, t, g: (li_, 0, 0)),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), im(lambda li_, b, t, g: (li_, 0, 0)),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Hkv, Q, D), im(lambda li_, b, t, g: (b, 0, 0, 0)),
@@ -249,6 +254,7 @@ def paged_flash_decode(
         v_sink.astype(jnp.float32),
         k_lut[:, None, :],
         v_lut[:, None, :],
+        vab,
     )
 
 
