@@ -88,15 +88,20 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
-def _outlier_m_group(ow, D: int, BT: int, hg: int):
+def _outlier_m_group(ow, D: int, BT: int, hg: int, n_live: int = None):
     """(J, BT) encoded outlier words of ONE head group -> dense
     (BT, hg*D) addend over the group's dims (9-bit head<<7|dim index).
 
     Building the addend once per GROUP (instead of per head with head
     masking) divides the dominant per-slot one-hot cost by hg: 4 slots over
-    a (BT, 4*128) tile cost the same as 1 slot over (BT, 128)."""
-    J = ow.shape[0]
-    w = jnp.transpose(ow)  # (BT, J)
+    a (BT, 4*128) tile cost the same as 1 slot over (BT, 128). Each slot
+    is a compare + select(ov, 0) + add — 3 VPU ops per tile element (the
+    select-into-0 replaces the onehot-to-float + multiply 2-op form;
+    collisions still SUM, so zero-valued padding slots stay harmless).
+    ``n_live``: statically known live slots (2*cap_per_side) — tile-padding
+    slots beyond it are structurally zero and skip their build entirely."""
+    J = ow.shape[0] if n_live is None else min(ow.shape[0], n_live)
+    w = jnp.transpose(ow)  # (BT, J_full)
     u = pltpu.bitcast(w, jnp.uint32)
     oi9 = (u & jnp.uint32(0x1FF)).astype(jnp.int32)
     col = (oi9 >> 7) * D + (oi9 & 0x7F)  # dense column in group space
@@ -104,7 +109,7 @@ def _outlier_m_group(ow, D: int, BT: int, hg: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (BT, hg * D), 1)
     M = jnp.zeros((BT, hg * D), jnp.float32)
     for j in range(J):
-        M += ov[:, j:j + 1] * (iota == col[:, j:j + 1]).astype(jnp.float32)
+        M += jnp.where(iota == col[:, j:j + 1], ov[:, j:j + 1], 0.0)
     return M
 
 
@@ -134,7 +139,7 @@ def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
-                  codes="nuq", post_k=False):
+                  codes="nuq", post_k=False, n_live=None):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
      ksink_ref, vsink_ref, klut_ref, vlut_ref, vab_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
@@ -225,8 +230,8 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             sin = cs_ref[1]
         # group outlier addends built ONCE for all hg heads of this step
         if sparse:
-            Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg)
-            Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg)
+            Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg, n_live)
+            Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg, n_live)
         if codes == "nuq":
             klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
             vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
@@ -387,7 +392,7 @@ def flash_attention(
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
-        post_k=dcfg.post_rope_k,
+        post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
     )
     # one grid step processes a whole head GROUP (hg heads): the group's
     # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)

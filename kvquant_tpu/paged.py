@@ -148,7 +148,7 @@ def paged_flash_decode(
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=MP, hg=hg, codes=dcfg.codes,
-        post_k=dcfg.post_rope_k,
+        post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
     )
     grid = (B, MP, Hkv // hg)
 
