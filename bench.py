@@ -55,9 +55,13 @@ def main():
     blk = int(os.environ.get("BENCH_BT", 1024))
     codes = os.environ.get("BENCH_CODES", "nuq")  # nuq | int4 | int8
     post_rope = os.environ.get("BENCH_POSTROPE", "0") == "1"
+    k_out = os.environ.get("BENCH_KOUT", "slots")  # slots | channels
+    n_kc = int(os.environ.get("BENCH_NKC", 4))
     scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
     if post_rope:
         scheme += "_postk"
+    if k_out == "channels":
+        scheme += "_kch"
 
     # LLaMA-shaped model (random init — zero egress), bf16
     cfg = ModelConfig(
@@ -87,7 +91,7 @@ def main():
         bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
         include_sparse=sparse, head_group=head_group, dot_bf16=dot_bf16,
-        codes=codes, post_rope_k=post_rope,
+        codes=codes, post_rope_k=post_rope, k_outliers=k_out, n_kc=n_kc,
     )
     if kernel == "flash":
         import kvquant_tpu.ops.pallas.flash_decode as _fd

@@ -78,6 +78,26 @@ class DeployConfig:
     page_tokens: int = 1024  # paged-pool page size (kvquant_tpu.paged):
     #   tokens per page == the flash kernel's token block when paging.
     #   Multiple of 256; 1024 is the measured VMEM sweet spot on v5e.
+    k_outliers: str = "slots"  # K-side outlier storage:
+    #   "slots"    — per-token fixed-budget encoded words (cap_per_side per
+    #                side per head group), the reference-faithful scheme:
+    #                the kernel densifies each slot with a one-hot build
+    #                (~3 VPU ops/slot/element — measured to DOMINATE the
+    #                whole decode step once dequant is cheap).
+    #   "channels" — TPU-native: n_kc STATIC channels per (layer, head
+    #                group), chosen at calibration time by expected residual
+    #                energy (KVQuant's own observation that K outliers are
+    #                channel-consistent, paper §3.1). The full residual
+    #                x - dequant is stored DENSELY for those channels as
+    #                plain fp32 rows of kv_out (reconstruction there is
+    #                EXACT), and the kernel applies them with two small MXU
+    #                contractions against a per-layer one-hot selection
+    #                matrix — zero per-token VPU densification work, no
+    #                index bits, no append-time top-k for K.
+    #                V outliers stay per-token slots (cap_per_side; 0 turns
+    #                them off — per-token V scale/offset already absorbs
+    #                token-level spikes).
+    n_kc: int = 4  # static K channels per head group ("channels" mode)
     post_rope_k: bool = False  # store keys POST-rotary. The reference
     #   quantizes pre-RoPE (per-channel distributions are cleaner there);
     #   post-RoPE storage lets the deployed kernel skip the per-element
@@ -87,6 +107,7 @@ class DeployConfig:
 
     def __post_init__(self):
         assert self.codes in ("nuq", "int4", "int8"), self.codes
+        assert self.k_outliers in ("slots", "channels"), self.k_outliers
         if self.codes == "int4":
             assert self.bits <= 4, "int4 container holds <= 4-bit codes"
         if self.codes == "int8":
@@ -131,20 +152,32 @@ class DeployConfig:
 
     @property
     def n_slots(self) -> int:
-        """Total outlier slots per (token, head group) — K and V sides
-        together — padded to the fp32 8-sublane tile so the merged (J, Tc)
-        outlier array is dense on TPU."""
-        return ((4 * self.cap_per_side + 7) // 8) * 8
+        """Total outlier rows per (token, head group) in the merged (J, Tc)
+        array — K rows first, then V rows — padded to the fp32 8-sublane
+        tile so the array is dense on TPU.
+
+        "slots" mode: 2*cap_per_side encoded words per kind.
+        "channels" mode: n_kc dense K residual rows + 2*cap_per_side V slot
+        words (n_kc=4, cap=2 fills the 8-row tile exactly — the same bytes
+        as the default slots layout)."""
+        if self.k_outliers == "channels":
+            raw = self.n_kc + 2 * self.cap_per_side
+        else:
+            raw = 4 * self.cap_per_side
+        return ((raw + 7) // 8) * 8
 
     @property
     def slots_per_kind(self) -> int:
+        """Row where the V slots start (== the K row count)."""
+        if self.k_outliers == "channels":
+            return self.n_kc
         return self.n_slots // 2
 
     @classmethod
     def create(cls, bits, n_kv_heads, d_head, max_len, sink=5,
                sparsity_threshold=0.99, include_sparse=True, kernel="xla",
                cap_per_side=None, dot_bf16=True, head_group=1, codes="nuq",
-               post_rope_k=False):
+               post_rope_k=False, k_outliers="slots", n_kc=4):
         if head_group in (None, 0):  # auto: largest of {1,2,4} that divides
             head_group = 4
         while n_kv_heads % head_group:
@@ -162,6 +195,8 @@ class DeployConfig:
             dot_bf16=dot_bf16,
             codes=codes,
             post_rope_k=post_rope_k,
+            k_outliers=k_outliers,
+            n_kc=n_kc,
         )
 
 
@@ -269,9 +304,29 @@ class DeployedQuant:
     k_lut_dec: Any  # (L, 2**bits)
     v_lut_enc: Any  # (L, 2**bits)
     v_lut_dec: Any  # (L, 2**bits)
+    k_ressc: Any  # (L, C) per-channel expected K residual energy from
+    #   calibration — the selection signal for k_outliers="channels"
+    #   (zeros when the artifact predates channel scores: top_k then picks
+    #   the first n_kc channels of each group, still a valid scheme)
 
     def layer(self, i) -> "DeployedQuant":
         return jax.tree.map(lambda a: a[i], self)
+
+
+def k_channel_onehot(k_ressc, dcfg: DeployConfig):
+    """Static K outlier channel selection ("channels" mode): the top-n_kc
+    residual-energy channels of each head group, as one-hot rows.
+
+    k_ressc: (..., C) — (C,) per layer or (L, C) stacked.
+    Returns (..., n_groups, n_kc, head_group*d_head) fp32 ``sel`` with
+    sel[..., g, n, c] == 1 iff group g's n-th selected channel is c.
+    jax.lax.top_k is deterministic (ties break to the lower index), so the
+    append path, the kernels, and the simulated oracle all derive the SAME
+    selection from the same scores."""
+    gw = dcfg.head_group * dcfg.d_head
+    g = k_ressc.reshape(*k_ressc.shape[:-1], dcfg.n_groups, gw)
+    idx = jax.lax.top_k(g, dcfg.n_kc)[1]  # (..., n_groups, n_kc)
+    return (idx[..., None] == jnp.arange(gw)).astype(jnp.float32)
 
 
 def affine_lut_coeffs(lut, tol: float = 1e-4):
@@ -328,7 +383,15 @@ def deployed_from_quantizers(qs, n_kv_heads: int, d_head: int) -> DeployedQuant:
     lo = stack(lambda lq: lq.k.lower.reshape(-1))
     L, C = up.shape
     assert C == n_kv_heads * d_head
+    ressc = jnp.asarray(
+        np.stack([
+            np.zeros(C, np.float32) if lq.k.ressc is None
+            else np.asarray(lq.k.ressc, np.float32).reshape(-1)
+            for lq in qs.layers
+        ]), jnp.float32,
+    )
     return DeployedQuant(
+        k_ressc=ressc,
         k_range=((up - lo) / 2).reshape(L, n_kv_heads, d_head),
         k_offset=((up + lo) / 2).reshape(L, n_kv_heads, d_head),
         k_lower=lo,

@@ -61,6 +61,17 @@ def add_quant_args(ap: argparse.ArgumentParser):
                          "all rotation work (zero-rotation speed mode). "
                          "Calibration then fits roped activations; the "
                          "reference scheme (and default) is pre-RoPE")
+    ap.add_argument("--k-outliers", default="slots",
+                    choices=["slots", "channels"],
+                    help="K outlier storage: 'slots' per-token fixed-budget "
+                         "encoded words (reference-faithful); 'channels' "
+                         "n-kc STATIC channels per head group stored as "
+                         "dense fp residual rows — exact there, zero "
+                         "per-token densification work in the kernel "
+                         "(TPU speed mode; V outliers stay per-token)")
+    ap.add_argument("--n-kc", type=int, default=4,
+                    help="static K outlier channels per head group "
+                         "(--k-outliers channels)")
 
 
 def add_parallel_args(ap: argparse.ArgumentParser):

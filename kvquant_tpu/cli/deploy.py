@@ -59,6 +59,8 @@ def main(argv=None):
         codes=getattr(args, 'codes', 'nuq'),
         post_rope_k=(getattr(args, 'post_rope_k', False)
                      or bool(qs.meta.get('post_rope_k', False))),
+        k_outliers=getattr(args, 'k_outliers', 'slots'),
+        n_kc=getattr(args, 'n_kc', 4),
         sparsity_threshold=qs.sparsity_threshold, kernel=args.kernel,
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
@@ -72,7 +74,9 @@ def main(argv=None):
 
     if args.check:
         sq = simquant_from_quantizers(qs, n_kv_heads=cfg.n_kv_heads,
-                                      head_group=dcfg.head_group)
+                                      head_group=dcfg.head_group,
+                                      k_outliers=dcfg.k_outliers,
+                                      n_kc=dcfg.n_kc)
         sim = perplexity(params, cfg, tokens, simquant=sq)
         dep = engine.deployed_ppl(params, cfg, dcfg, dq, tokens,
                                   prefill_tokens=args.prefill)

@@ -40,7 +40,9 @@ def main(argv=None):
     if args.quantizers:
         qs = load_quantizers(args.quantizers)
         sq = simquant_from_quantizers(
-            qs, v_mode=args.v_mode, n_kv_heads=cfg.n_kv_heads
+            qs, v_mode=args.v_mode, n_kv_heads=cfg.n_kv_heads,
+            k_outliers=getattr(args, 'k_outliers', 'slots'),
+            n_kc=getattr(args, 'n_kc', 4),
         )
         print(f"quantizers: {qs.bits}-bit, sparsity "
               f"{qs.sparsity_threshold}, sink {qs.first_few_fp16}")
@@ -61,6 +63,8 @@ def main(argv=None):
         codes=getattr(args, 'codes', 'nuq'),
         post_rope_k=(getattr(args, 'post_rope_k', False)
                      or bool(qs.meta.get('post_rope_k', False))),
+        k_outliers=getattr(args, 'k_outliers', 'slots'),
+        n_kc=getattr(args, 'n_kc', 4),
             kernel=args.kernel,
         )
         dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)

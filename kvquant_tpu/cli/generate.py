@@ -50,6 +50,8 @@ def main(argv=None):
         codes=getattr(args, 'codes', 'nuq'),
         post_rope_k=(getattr(args, 'post_rope_k', False)
                      or bool(qs.meta.get('post_rope_k', False))),
+        k_outliers=getattr(args, 'k_outliers', 'slots'),
+        n_kc=getattr(args, 'n_kc', 4),
     )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 

@@ -230,7 +230,7 @@ def _decode_step_flash(
             q_rot, arrs["k_planes"], arrs["v_planes"], arrs["kv_out"],
             dq.k_range, dq.k_offset, arrs["v_scale"], arrs["v_offset"],
             arrs["k_sink"], arrs["v_sink"], dq.k_lut_dec, dq.v_lut_dec,
-            li, posb, dcfg, cfg,
+            li, posb, dcfg, cfg, k_ressc=dq.k_ressc,
         )  # (B, Hkv, G, Dh)
 
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])

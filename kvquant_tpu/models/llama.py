@@ -149,6 +149,9 @@ class SimQuantArrays:
     k_normoffset: Any
     v_normscale: Any
     v_normoffset: Any
+    k_ressc: Any = None  # (L, C) per-channel residual energy (static-
+    #   channel K outlier selection signal; only read when
+    #   SimQuantConfig.k_outliers == "channels")
 
 
 @dataclass(frozen=True)
@@ -173,6 +176,11 @@ class SimQuantConfig:
     first_few_fp16: int = 0
     v_mode: str = "topk"  # or "percentile"
     qnorm: bool = False
+    k_outliers: str = "slots"  # "channels": K outliers are the n_kc
+    #   highest-residual-energy channels per head group, kept EXACT for
+    #   every token (mirrors DeployConfig.k_outliers="channels" — dense
+    #   fp residual storage reconstructs those channels exactly)
+    n_kc: int = 4
     post_rope_k: bool = False  # quantize keys AFTER rotary embedding.
     #   The reference quantizes pre-RoPE (the paper's per-channel insight);
     #   post-RoPE storage is the TPU speed mode: the deployed kernel skips
@@ -188,7 +196,8 @@ class SimQuantParams:
 
 def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
                              cap_per_side=2, head_group=1,
-                             post_rope_k=None) -> SimQuantParams:
+                             post_rope_k=None, k_outliers="slots",
+                             n_kc=4) -> SimQuantParams:
     """Build stacked simulated-quant params from a QuantizerSet artifact.
     ``n_kv_heads`` sets the per-(token, kv-head) outlier budget granularity
     and ``cap_per_side`` the per-head budget — pass the model's kv-head
@@ -216,6 +225,11 @@ def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
         k_normoffset=jnp.asarray(aff([lq.k.normoffset for lq in qs.layers], 0.0)),
         v_normscale=jnp.asarray(aff([lq.v.normscale for lq in qs.layers], 1.0)),
         v_normoffset=jnp.asarray(aff([lq.v.normoffset for lq in qs.layers], 0.0)),
+        k_ressc=jnp.asarray(np.stack([
+            np.zeros_like(lq.k.upper) if lq.k.ressc is None
+            else np.asarray(lq.k.ressc, np.float32)
+            for lq in qs.layers
+        ]), jnp.float32),
     )
     qnorm = any(lq.k.normscale is not None for lq in qs.layers)
     from ..quant.outliers import outlier_budget_per_side
@@ -236,6 +250,8 @@ def simquant_from_quantizers(qs, v_mode="topk", n_kv_heads=1,
             bool(qs.meta.get("post_rope_k", False))
             if post_rope_k is None else post_rope_k
         ),
+        k_outliers=k_outliers,
+        n_kc=n_kc,
     )
     return SimQuantParams(arrays=arrays, config=cfg)
 
@@ -246,7 +262,21 @@ def simquant_k(k, arrs, cfg: SimQuantConfig):
 
     kf = k.astype(jnp.float32)
     if cfg.include_sparse:
-        if cfg.cap_per_side > 0:
+        if cfg.k_outliers == "channels":
+            # static-channel mode: the deployed cache stores the FULL
+            # residual densely at each group's top-n_kc residual-energy
+            # channels — reconstruction there is exact for every token
+            # (ops/deployed.quantize_k), so the simulated mask is a static
+            # per-channel one-hot, not a per-token top-k
+            C = kf.shape[-1]
+            gw = C // cfg.n_kv_heads
+            g = arrs.k_ressc.reshape(cfg.n_kv_heads, gw)
+            idx = jax.lax.top_k(g, cfg.n_kc)[1]  # (G, n_kc)
+            chmask = jnp.any(
+                idx[..., None] == jnp.arange(gw), axis=-2
+            ).reshape(C)  # (C,) bool
+            mask = jnp.broadcast_to(chmask, kf.shape)
+        elif cfg.cap_per_side > 0:
             mask = capped_outlier_mask_headwise(
                 kf, arrs.k_lower, arrs.k_upper, cfg.cap_per_side,
                 cfg.n_kv_heads,
@@ -303,9 +333,18 @@ def simquant_v(v, arrs, cfg: SimQuantConfig):
             cap = cfg.cap_per_side or outlier_budget_per_side(
                 v.shape[-1] // cfg.n_kv_heads, cfg.sparsity_threshold
             )
-            minval, maxval, mask = v_topk_range_and_mask(
-                vf, r, cap, cfg.n_kv_heads
-            )
+            if cfg.k_outliers == "channels" and cfg.cap_per_side == 0:
+                # channels mode with V slots turned OFF: per-token range
+                # only, no stored V outliers (deployed mirror: quantize_v
+                # skips _group_outlier_words when cap_per_side == 0)
+                top_v, _ = jax.lax.top_k(vf, r + 1)
+                bot_v, _ = jax.lax.top_k(-vf, r + 1)
+                maxval, minval = top_v[..., -1:], -bot_v[..., -1:]
+                mask = jnp.zeros(vf.shape, bool)
+            else:
+                minval, maxval, mask = v_topk_range_and_mask(
+                    vf, r, cap, cfg.n_kv_heads
+                )
             dynamic = False
         else:
             mask = dynamic_outlier_mask(vf, cfg.sparsity_threshold, axis=-1)

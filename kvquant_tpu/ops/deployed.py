@@ -35,7 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, DeployConfig, DeployedQuant
+from ..cache import KVCache, DeployConfig, DeployedQuant, k_channel_onehot
 from ..models.config import ModelConfig
 from ..models.llama import rope_cos_sin, rotate_half
 from ..quant.nuq import nearest_codes, lut_lookup
@@ -94,13 +94,16 @@ def _encode_padded(ovals, oidx, n_slots: int):
     return words
 
 
-def _group_outlier_words(x_g, xn_g, deq_g, dcfg: DeployConfig):
+def _group_outlier_words(x_g, xn_g, deq_g, dcfg: DeployConfig,
+                         n_slots: int | None = None):
     """Shared outlier path for K and V: extract the per-(token, head-group)
     fixed-budget residual outliers in group space and encode them with the
     9-bit ``head_in_group << 7 | dim`` index (ops/packing.py).
 
     x_g/xn_g/deq_g: (..., n_groups, head_group * d_head) raw / normalized /
-    dense-dequantized values."""
+    dense-dequantized values. ``n_slots``: rows to pad the encoded words to
+    (defaults to slots_per_kind; the V rows of the "channels" layout are
+    the tail n_slots - n_kc rows instead)."""
     base = jnp.abs(xn_g) > 1.0
     resc = jnp.where(base, jnp.abs(xn_g), 0.0)
     signed = jnp.where(xn_g > 0, resc, -resc)
@@ -109,15 +112,21 @@ def _group_outlier_words(x_g, xn_g, deq_g, dcfg: DeployConfig):
     )
     D = dcfg.d_head
     oidx9 = (oidx // D) * 128 + (oidx % D)
-    return _encode_padded(ovals, oidx9, dcfg.slots_per_kind)
+    return _encode_padded(
+        ovals, oidx9,
+        dcfg.slots_per_kind if n_slots is None else n_slots,
+    )
 
 
 def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
-    """Quantize pre-RoPE keys (..., C) -> (codes (..., Hkv, D),
-    outlier_vals (..., Hkv, 2*cap), outlier_idx (..., Hkv, 2*cap)).
+    """Quantize pre-RoPE keys (..., C) -> (codes (..., Hkv, D), outlier
+    rows (..., n_groups, slots_per_kind) or None).
 
     Mirrors vecquantNappendvecKsparse + the fixed-budget topk at
     deployment modeling_llama.py:669-751, with the budget per kv-head.
+    k_outliers="channels": no per-token topk at all — the outlier rows are
+    the plain residuals x - dequant at the layer's static channels (dense,
+    exact reconstruction there), gathered by a one-hot contraction.
     """
     Hkv, D = dcfg.n_kv_heads, dcfg.d_head
     kf = k.astype(jnp.float32).reshape(*k.shape[:-1], Hkv, D)
@@ -130,9 +139,15 @@ def quantize_k(k, lq: DeployedQuant, dcfg: DeployConfig):
     out_words = None
     if dcfg.include_sparse:
         gshape = (*k.shape[:-1], dcfg.n_groups, dcfg.head_group * D)
-        out_words = _group_outlier_words(
-            kf.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape), dcfg
-        )
+        if dcfg.k_outliers == "channels":
+            sel = k_channel_onehot(lq.k_ressc, dcfg)  # (G, n_kc, hg*D)
+            resid = (kf - deq).reshape(gshape)
+            out_words = jnp.einsum("...gc,gnc->...gn", resid, sel)
+        else:
+            out_words = _group_outlier_words(
+                kf.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape),
+                dcfg,
+            )
     return codes, out_words
 
 
@@ -160,10 +175,11 @@ def quantize_v(v, lq: DeployedQuant, dcfg: DeployConfig):
     deq = lut_lookup(lq.v_lut_dec, codes) * scale[..., None] + offset[..., None]
 
     out_words = None
-    if dcfg.include_sparse:
+    if dcfg.include_sparse and dcfg.cap_per_side > 0:
         gshape = (*v.shape[:-1], dcfg.n_groups, dcfg.head_group * D)
         out_words = _group_outlier_words(
-            vh.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape), dcfg
+            vh.reshape(gshape), xn.reshape(gshape), deq.reshape(gshape),
+            dcfg, n_slots=dcfg.n_slots - dcfg.slots_per_kind,
         )
     return codes, out_words, scale[..., 0], offset[..., 0]
 
@@ -196,9 +212,20 @@ def dequant_k_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
         lq.k_offset[:, None, :]
     )
     if dcfg.include_sparse and with_outliers:
-        deq = deq + _outlier_addend(
-            cache_l.kv_out[:, :, : dcfg.slots_per_kind], dcfg
-        )
+        rows = cache_l.kv_out[:, :, : dcfg.slots_per_kind]
+        if dcfg.k_outliers == "channels":
+            # rows are plain residuals at the static channels: densify with
+            # the per-layer one-hot selection (an MXU contraction, matching
+            # the kernels' two-dot application)
+            B, Gp, N, Tc = rows.shape
+            D, hg = dcfg.d_head, dcfg.head_group
+            sel = k_channel_onehot(lq.k_ressc, dcfg)  # (G, n_kc, hg*D)
+            dense = jnp.einsum("bgnt,gnc->bgtc", rows, sel)
+            deq = deq + dense.reshape(B, Gp, Tc, hg, D).transpose(
+                0, 1, 3, 2, 4
+            ).reshape(B, Gp * hg, Tc, D)
+        else:
+            deq = deq + _outlier_addend(rows, dcfg)
     return deq
 
 
@@ -209,7 +236,7 @@ def dequant_v_full(cache_l: KVCache, lq: DeployedQuant, dcfg: DeployConfig,
     deq = lut_lookup(lq.v_lut_dec, codes) * cache_l.v_scale[:, None, :, None] + (
         cache_l.v_offset[:, None, :, None]
     )
-    if dcfg.include_sparse and with_outliers:
+    if dcfg.include_sparse and with_outliers and dcfg.cap_per_side > 0:
         deq = deq + _outlier_addend(
             cache_l.kv_out[:, :, dcfg.slots_per_kind :], dcfg
         )
@@ -328,6 +355,10 @@ def decode_attention(
 
         assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
         assert not dcfg.post_rope_k, "two-pass kernels rope in-kernel"
+        assert dcfg.k_outliers == "slots", (
+            "two-pass kernels decode slot words; use kernel='flash' for "
+            "k_outliers='channels'"
+        )
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(
                 q1, kp1, ow1, lq.k_range, lq.k_offset, lq.k_lut_dec,
@@ -365,7 +396,7 @@ def decode_attention(
     v_planes = _append(cache_l.v_planes, codes_v)
     v_scale = _write_row_b(cache_l.v_scale, v_sc, p, not_sink, axis=0)
     v_offset = _write_row_b(cache_l.v_offset, v_off, p, not_sink, axis=0)
-    if dcfg.include_sparse:
+    if dcfg.include_sparse and v_words is not None:
         kv_out = _write_out_slots(kv_out, v_words, p, not_sink,
                                   dcfg.slots_per_kind)
 
@@ -471,7 +502,7 @@ def append_token_flash(
             )
 
         kv = put_out(arrs["kv_out"], k_words, 0)
-        out["kv_out"] = put_out(kv, v_words, spk)
+        out["kv_out"] = kv if v_words is None else put_out(kv, v_words, spk)
 
     def put_scalar(arr, val):
         def one(a_b, s_b, p_b, pr_b):  # a_b (L, Tc)
@@ -571,10 +602,11 @@ def prefill_pack(
         k_store = k[:, S:]
     codes_k, k_words = quantize_k(k_store, lq, dcfg)
     codes_v, v_words, v_sc, v_off = quantize_v(v[:, S:], lq, dcfg)
-    kv_words = (
-        jnp.concatenate([k_words, v_words], axis=-1)
-        if dcfg.include_sparse else None
-    )
+    kv_words = None
+    if dcfg.include_sparse:
+        kv_words = k_words if v_words is None else jnp.concatenate(
+            [k_words, v_words], axis=-1
+        )
 
     new_cache = KVCache(
         k_planes=place(cache_l.k_planes, codes_k),
@@ -660,7 +692,9 @@ def block_attention(
     k_planes = place(cache_l.k_planes, codes_k)
     v_planes = place(cache_l.v_planes, codes_v)
     if dcfg.include_sparse:
-        kv_words = jnp.concatenate([k_words, v_words], axis=-1)
+        kv_words = k_words if v_words is None else jnp.concatenate(
+            [k_words, v_words], axis=-1
+        )
         kv_out = jax.lax.dynamic_update_slice(
             cache_l.kv_out,
             kv_words.transpose(0, 2, 3, 1).astype(cache_l.kv_out.dtype),
@@ -701,7 +735,7 @@ def block_attention(
             # multi-row queries scale the kernel's out/m/l/q VMEM blocks
             # with Q = G*Tq: a smaller token block keeps the folded kernel
             # under the 16MB scoped-VMEM limit at chunk 256
-            Tq=Tq_all, block_tokens=512,
+            Tq=Tq_all, block_tokens=512, k_ressc=lq.k_ressc[None],
         ).reshape(B, Hkv, G, Tq_all, Dh)
         out = out.transpose(0, 3, 1, 2, 4).reshape(B, Tq_all, Hkv * G * Dh)
         return new_cache, out
@@ -711,6 +745,10 @@ def block_attention(
 
         assert dcfg.codes == "nuq", "two-pass kernels read bit planes only"
         assert not dcfg.post_rope_k, "two-pass kernels rope in-kernel"
+        assert dcfg.k_outliers == "slots", (
+            "two-pass kernels decode slot words; use kernel='flash' for "
+            "k_outliers='channels'"
+        )
         qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)
         dense = jax.vmap(
             lambda q1, kp1, ow1: qk_fused(

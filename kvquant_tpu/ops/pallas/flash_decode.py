@@ -139,10 +139,15 @@ def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
-                  codes="nuq", post_k=False, n_live=None):
+                  codes="nuq", post_k=False, n_live=None, k_mode="slots",
+                  n_live_v=None):
     (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
-     ksink_ref, vsink_ref, klut_ref, vlut_ref, vab_ref,
+     ksink_ref, vsink_ref, klut_ref, vlut_ref, vab_ref, ksel_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
+    if n_live_v is None:
+        n_live_v = n_live
+    k_channels = sparse and k_mode == "channels"
+    v_sparse = sparse and (n_live_v is None or n_live_v > 0)
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -229,9 +234,18 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             cos = cs_ref[0]
             sin = cs_ref[1]
         # group outlier addends built ONCE for all hg heads of this step
-        if sparse:
+        if k_channels:
+            # static-channel K residuals: NO densification — the rows are
+            # plain residual values applied via small MXU contractions
+            # against the per-layer one-hot selection matrix
+            Rk = ow_ref[0, 0, 0, :spk]   # (n_kc, BT)
+            sel = ksel_ref[0, 0]         # (n_kc, hg*D)
+        elif sparse:
             Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg, n_live)
-            Mv = _outlier_m_group(ow_ref[0, 0, 0, spk:], D, BT, hg, n_live)
+        if v_sparse:
+            Mv = _outlier_m_group(
+                ow_ref[0, 0, 0, spk:], D, BT, hg, n_live_v
+            )
         if codes == "nuq":
             klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
             vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
@@ -264,7 +278,21 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                     qs_f.astype(ct), kc, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                if sparse:
+                if k_channels:
+                    # score correction q . resid via two tiny MXU dots:
+                    # (Q,D)x(D,n_kc) then (Q,n_kc)x(n_kc,BT) — zero VPU
+                    qsel = jax.lax.dot_general(
+                        q.astype(ct),
+                        sel[:, j * D:(j + 1) * D].astype(ct),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (Q, n_kc)
+                    s_blk += jax.lax.dot_general(
+                        qsel.astype(ct), Rk.astype(ct),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                elif sparse:
                     s_blk += jax.lax.dot_general(
                         q.astype(ct),
                         Mk[:, j * D:(j + 1) * D].astype(ct),
@@ -284,7 +312,16 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                     # (k_step/k_zero), the entire K reconstruction
                     kd = kp_ref[0, 0, j].astype(jnp.float32)
                     kd = kd * krng_ref[0, j] + koff_ref[0, j]
-                if sparse:
+                if k_channels:
+                    # densify this head's residual slice on the MXU:
+                    # (BT, n_kc) x (n_kc, D) — one VPU add per element
+                    kd += jax.lax.dot_general(
+                        Rk.astype(ct),
+                        sel[:, j * D:(j + 1) * D].astype(ct),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                elif sparse:
                     kd += Mk[:, j * D:(j + 1) * D]
                 if post_k:
                     kx = kd  # keys stored post-RoPE: zero rotation ops
@@ -324,7 +361,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 preferred_element_type=jnp.float32,
             )  # (Q, D)
             pv = pv + jnp.sum(p * voff_eff, axis=-1, keepdims=True)
-            if sparse:
+            if v_sparse:
                 pv += jax.lax.dot_general(
                     p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
                     (((1,), (0,)), ((), ())),
@@ -360,6 +397,8 @@ def flash_attention(
     Tq: int = 1,  # query tokens per head-group row block: Q = G * Tq, rows
                   # g-major, row r at position pos + r % Tq
     block_tokens: int = 1024,
+    k_ressc=None,  # (L, C) channel residual scores (DeployedQuant.k_ressc)
+                   # — required when dcfg.k_outliers == "channels"
 ):
     """Single-pass online-softmax attention over sink + packed cache for
     one layer. Tq == 1 is the decode step; Tq > 1 is blockwise quantized
@@ -387,12 +426,21 @@ def flash_attention(
     K = 2 ** bits
 
     hg = dcfg.head_group
+    if sparse and dcfg.k_outliers == "channels":
+        from ...cache import k_channel_onehot
+
+        assert k_ressc is not None, "channels mode needs k_ressc"
+        k_sel = k_channel_onehot(k_ressc, dcfg)  # (L, G, n_kc, hg*D)
+    else:
+        k_sel = jnp.zeros((L, Hkv // hg, 1, hg * D), jnp.float32)
+    nsel = k_sel.shape[2]
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=Tq, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
         post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
+        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side,
     )
     # one grid step processes a whole head GROUP (hg heads): the group's
     # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)
@@ -462,6 +510,9 @@ def flash_attention(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), im(lambda li, b, t, g: (li, 0, 0)),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nsel, hg * D),
+                         im(lambda li, b, t, g: (li, g, 0, 0)),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
@@ -500,15 +551,16 @@ def flash_attention(
         k_lut.astype(jnp.float32)[:, None, :],
         v_lut.astype(jnp.float32)[:, None, :],
         vab,
+        k_sel,
     )
 
 
 def flash_decode(q_rot, k_planes, v_planes, kv_out, k_range, k_offset,
                  v_scale, v_offset, k_sink, v_sink, k_lut, v_lut, li, pos,
-                 dcfg, mcfg, block_tokens: int = 1024):
+                 dcfg, mcfg, block_tokens: int = 1024, k_ressc=None):
     """Decode-step alias: one token per sequence (Tq=1, Q=G rows)."""
     return flash_attention(
         q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale,
         v_offset, k_sink, v_sink, k_lut, v_lut, li, pos, dcfg, mcfg,
-        Tq=1, block_tokens=block_tokens,
+        Tq=1, block_tokens=block_tokens, k_ressc=k_ressc,
     )

@@ -143,12 +143,20 @@ def paged_flash_decode(
     else:
         vab = jnp.zeros((L, 1, 2), jnp.float32)
 
+    if sparse and dcfg.k_outliers == "channels":
+        from .cache import k_channel_onehot
+
+        k_sel = k_channel_onehot(dq.k_ressc, dcfg)  # (L, G, n_kc, hg*D)
+    else:
+        k_sel = jnp.zeros((L, Hkv // hg, 1, hg * D), jnp.float32)
+    nsel = k_sel.shape[2]
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=1, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=MP, hg=hg, codes=dcfg.codes,
         post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
+        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side,
     )
     grid = (B, MP, Hkv // hg)
 
@@ -213,6 +221,9 @@ def paged_flash_decode(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), im(lambda li_, b, t, g: (li_, 0, 0)),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nsel, hg * D),
+                         im(lambda li_, b, t, g: (li_, g, 0, 0)),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Hkv, Q, D), im(lambda li_, b, t, g: (b, 0, 0, 0)),
@@ -255,6 +266,7 @@ def paged_flash_decode(
         k_lut[:, None, :],
         v_lut[:, None, :],
         vab,
+        k_sel,
     )
 
 
@@ -387,7 +399,9 @@ def paged_append_token(
             return o
 
         kv = put_out(pool.kv_out, k_words, 0)
-        out = dataclasses.replace(out, kv_out=put_out(kv, v_words, spk))
+        if v_words is not None:
+            kv = put_out(kv, v_words, spk)
+        out = dataclasses.replace(out, kv_out=kv)
 
     def put_scalar(arr, val):
         o = arr

@@ -23,6 +23,7 @@ parallelism at all — this module is new TPU-first design, not translation.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cache import KVCache, DeployedQuant
@@ -98,6 +99,7 @@ def quant_shardings(mesh: Mesh) -> DeployedQuant:
         k_lut_dec=rep,
         v_lut_enc=rep,
         v_lut_dec=rep,
+        k_ressc=rep,
     )
 
 
@@ -122,7 +124,7 @@ def flash_attention_sharded(mesh: Mesh, q_rot, k_planes, v_planes, kv_out,
                             k_range, k_offset, v_scale, v_offset,
                             k_sink, v_sink, k_lut, v_lut, li, pos,
                             dcfg, mcfg, Tq: int = 1,
-                            block_tokens: int = 1024):
+                            block_tokens: int = 1024, k_ressc=None):
     """shard_map wrapper for ops.pallas.flash_decode.flash_attention:
     batch shards over "dp", kv heads (and their outlier groups) over "tp".
 
@@ -157,12 +159,20 @@ def flash_attention_sharded(mesh: Mesh, q_rot, k_planes, v_planes, kv_out,
         cache_p, cache_p,         # sinks
         P(), P(),                 # luts (replicated)
         P(), P("dp"),             # li, pos
+        P(None, "tp"),            # k_ressc (L, C): channel scores follow
+                                  # their heads so each shard derives its
+                                  # LOCAL static-channel selection
     )
 
+    if k_ressc is None:
+        k_ressc = jnp.zeros(
+            (k_range.shape[0], dcfg.n_kv_heads * dcfg.d_head), jnp.float32
+        )
     fn = partial(flash_attention, dcfg=dcfg, mcfg=mcfg, Tq=Tq,
                  block_tokens=block_tokens)
     return shard_map(
-        fn, mesh=mesh, in_specs=specs_in, out_specs=P("dp", "tp"),
+        lambda *a: fn(*a[:-1], k_ressc=a[-1]),
+        mesh=mesh, in_specs=specs_in, out_specs=P("dp", "tp"),
         check_vma=False,  # pallas_call out_shape carries no vma info
     )(q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale,
-      v_offset, k_sink, v_sink, k_lut, v_lut, li, pos)
+      v_offset, k_sink, v_sink, k_lut, v_lut, li, pos, k_ressc)

@@ -33,6 +33,9 @@ class KQuantizer:
     lut: np.ndarray  # (2**bits,) fp32, sorted, normalized to [-1, 1]
     normscale: float | None = None
     normoffset: float | None = None
+    ressc: np.ndarray | None = None  # (C,) expected squared residual per
+    #   channel after quantization — the static-channel outlier selection
+    #   signal for DeployConfig.k_outliers="channels"
 
     @property
     def zeropoint(self) -> np.ndarray:
@@ -121,6 +124,7 @@ def load_quantizers(path: str) -> QuantizerSet:
                 lut=get(f"layers.{i}.k.lut"),
                 normscale=scalar(f"layers.{i}.k.normscale"),
                 normoffset=scalar(f"layers.{i}.k.normoffset"),
+                ressc=get(f"layers.{i}.k.ressc"),
             )
             v = VQuantizer(
                 lut=get(f"layers.{i}.v.lut"),

@@ -167,6 +167,22 @@ def fit_channel_quantizer(
         normscale=None,
         normoffset=None,
     )
+    if axis == 0:
+        # per-channel expected squared residual AFTER quantization — the
+        # selection signal for static-channel K outliers (KVQuant's
+        # channel-consistency observation): channels whose residual energy
+        # dominates are exactly the ones worth storing densely in fp
+        # (DeployConfig.k_outliers="channels"). Weighted by Fisher when
+        # available so selection tracks loss impact, not raw magnitude.
+        deq_n = nearest_values(jnp.clip(xn, -1.0, 1.0), lut)
+        r = (xn - deq_n) * rng  # de-normalized residual (in-range rounding
+        #                         + the dominant beyond-range clip error)
+        wsc = jnp.ones_like(r) if fisher is None else jnp.asarray(
+            fisher, jnp.float32
+        )
+        out["ressc"] = np.asarray(
+            jnp.mean(wsc * r * r, axis=0), np.float32
+        )
     if qnorm:
         q = nearest_values(xn, lut)
         keep = jnp.where(outlier_mask, 0.0, 1.0)
@@ -218,6 +234,7 @@ def fit_quantizers(
                 k=KQuantizer(
                     upper=kq["upper"], lower=kq["lower"], lut=kq["lut"],
                     normscale=kq["normscale"], normoffset=kq["normoffset"],
+                    ressc=kq.get("ressc"),
                 ),
                 v=VQuantizer(
                     lut=vq["lut"], normscale=vq["normscale"],
