@@ -28,9 +28,14 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
 
-    if jax.default_backend() != "tpu":
+    # Default to CPU: probing jax.default_backend() would INITIALIZE the
+    # remote axon backend and hang indefinitely when the tunnel is down.
+    # Set PPL_ON_TPU=1 to run the table on the chip.
+    if os.environ.get("PPL_ON_TPU", "0") != "1":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
@@ -149,6 +154,58 @@ def main():
         rows[f"uniform{bits}_postrope"] = ppl
         print(f"uniform{bits}-postrope ppl {ppl:.4f}  "
               f"(delta {ppl - ppl_fp16:+.4f})")
+
+    # static-channel K outliers (k_outliers="channels"): per-group top-n_kc
+    # residual-energy channels stored as dense exact residuals instead of
+    # per-token capped slots. Tracked at nuq3 (vs the nuq3 slots row) and
+    # on the full TPU speed config (int4 + post-RoPE + channels), each with
+    # the deployed packed-cache oracle.
+    qs = fit_quantizers(
+        k_acts, v_acts, bits=3, sparsity_threshold=0.99,
+        cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+        kmeans_iters=10 if args.fast else 30,
+        fisher_k=fisher_k, fisher_v=fisher_v,
+    )
+    sq = simquant_from_quantizers(
+        qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads, head_group=4,
+        k_outliers="channels",
+    )
+    ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+    rows["nuq3_kch"] = ppl
+    print(f"nuq3-kchannels ppl {ppl:.4f}  (delta {ppl - ppl_fp16:+.4f})")
+    dcfg = DeployConfig.create(
+        bits=3, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=261, sink=5, head_group=4, k_outliers="channels",
+        kernel="flash",
+    )
+    dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+    dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+    rows["deployed_nuq3_kch"] = dep
+    print(f"deployed nuq3-kchannels (flash) ppl {dep:.4f}")
+
+    qs = fit_quantizers(
+        k_acts_r, v_acts_r, bits=4, sparsity_threshold=0.99,
+        cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+        kmeans_iters=10 if args.fast else 30, mode="uniform",
+    )
+    qs.meta["post_rope_k"] = True
+    sq = simquant_from_quantizers(
+        qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads, head_group=4,
+        k_outliers="channels",
+    )
+    ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+    rows["speed_config"] = ppl  # int4 + post-RoPE + channels, hg=4
+    print(f"speed config (uniform4+postrope+kchannels) ppl {ppl:.4f}  "
+          f"(delta {ppl - ppl_fp16:+.4f})")
+    dcfg = DeployConfig.create(
+        bits=4, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=261, sink=5, head_group=4, codes="int4", post_rope_k=True,
+        k_outliers="channels", kernel="flash",
+    )
+    dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+    dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+    rows["deployed_speed_config"] = dep
+    print(f"deployed speed config (int4+postk+kch, flash) ppl {dep:.4f}")
 
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
 
