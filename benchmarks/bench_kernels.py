@@ -1,14 +1,26 @@
-"""Kernel microbenchmarks: fused QK / PV Pallas kernels vs the XLA reference
-datapath vs fp16 matvec baselines, on real or synthetic activations.
+"""Kernel microbenchmarks — the per-kernel sweep surface mirroring the
+reference's benchmarking/scripts/ suite (7 scripts), one flag-selected
+section each:
 
-Reference: benchmarking/scripts/test_kernels_key.py / test_kernels_value.py
-/ test_kernel_baselines.py / test_kernel_benchmark_K_plus_rope.py — per-
-kernel profiler runs against fp16 baselines. TPU measurement note: the
-decode loop is scanned on device and timing fetches a value, because
-dispatch round-trips through the remote tunnel dominate and
-block_until_ready is optimistic (see bench.py).
+  reference script                      here
+  test_kernels_key.py                -> qk_fused sparse/dense
+  test_kernels_value.py              -> pv_fused sparse
+  test_kernel_baselines.py           -> fp16 matvec baselines
+  test_kernel_benchmark_K_plus_rope  -> flash single-pass kernel (RoPE
+                                        fused), nuq / int4 / channels /
+                                        post-RoPE variants (--flash)
+  test_kernels_key_packing.py        -> prefill_pack bulk packing (--pack)
+  test_kernels_value_packing.py      -> append_token_flash one-token
+                                        append (--pack)
+  test_offload_topk.py               -> on-chip lax.top_k (the reference
+                                        offloads topk to CPU on a side
+                                        stream — GPU workaround) (--topk)
 
-  python benchmarks/bench_kernels.py --ctx 32768 --bits 3 [--acts acts.npz]
+TPU measurement note: loops are scanned on device and timing fetches a
+value, because dispatch round-trips through the remote tunnel dominate
+and block_until_ready is optimistic (see bench.py).
+
+  python benchmarks/bench_kernels.py --ctx 32768 --bits 3 --flash --pack
 """
 
 from __future__ import annotations
@@ -56,6 +68,14 @@ def main(argv=None):
     ap.add_argument("--acts", default=None,
                     help="npz from capture_activations.py (else synthetic)")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--flash", action="store_true",
+                    help="single-pass flash kernel variants (nuq/int4/"
+                         "channels/post-RoPE)")
+    ap.add_argument("--pack", action="store_true",
+                    help="prefill bulk packing + one-token append")
+    ap.add_argument("--topk", action="store_true",
+                    help="on-chip lax.top_k (reference CPU-offload "
+                         "counterpart)")
     args = ap.parse_args(argv)
 
     Hkv, D, G, bits = args.kv_heads, args.d_head, args.group, args.bits
@@ -114,12 +134,167 @@ def main(argv=None):
         lambda: jnp.einsum("hgt,htd->hgd", probs, kf.astype(jnp.float32)),
         iters=args.iters)
 
+    if args.flash:
+        # the production single-pass kernel (dequant + RoPE + outliers +
+        # online softmax + PV fused; reference counterpart is the fused
+        # K+rope benchmark script) across storage/outlier modes. Caches are
+        # created in-jit: content-independent, and int4 avals cannot cross
+        # the remote-tunnel jit boundary.
+        import functools
+
+        from kvquant_tpu.cache import create_cache, deployed_from_quantizers
+        from kvquant_tpu.ops.pallas.flash_decode import flash_decode
+        from kvquant_tpu.quant.artifacts import (
+            KQuantizer, VQuantizer, LayerQuantizers, QuantizerSet,
+        )
+
+        def make_dq(fbits, affine):
+            flut = (np.linspace(-1, 1, 2 ** fbits, dtype=np.float32)
+                    if affine else np.sort(nf_signposts(fbits)))
+            u = (np.abs(rng.normal(size=Hkv * D)) * 2 + 1).astype(np.float32)
+            qs = QuantizerSet(
+                layers=[LayerQuantizers(
+                    k=KQuantizer(upper=u, lower=(-0.9 * u).astype(np.float32),
+                                 lut=flut.copy(),
+                                 ressc=rng.random(Hkv * D).astype(np.float32)),
+                    v=VQuantizer(lut=flut.copy()),
+                )],
+                bits=fbits, sparsity_threshold=0.99, cap_outliers=True,
+                first_few_fp16=5,
+            )
+            return deployed_from_quantizers(qs, Hkv, D)
+
+        def flash_ms(fdcfg, dq):
+            qq = jnp.asarray(
+                rng.normal(size=(1, Hkv, G, D)).astype(np.float32)
+            )
+            pos = jnp.full((1,), Tc - 2, jnp.int32)
+
+            @jax.jit
+            def run(dq, qq, pos):
+                c = create_cache(fdcfg, 1, 1)
+
+                def body(acc, _):
+                    o = flash_decode(
+                        qq, c.k_planes, c.v_planes, c.kv_out, dq.k_range,
+                        dq.k_offset, c.v_scale, c.v_offset, c.k_sink,
+                        c.v_sink, dq.k_lut_dec, dq.v_lut_dec,
+                        jnp.int32(0), pos, fdcfg, mcfg,
+                        k_ressc=dq.k_ressc,
+                    )
+                    return acc + o.reshape(-1)[0], None
+
+                out, _ = jax.lax.scan(body, 0.0, None, length=args.iters)
+                return out
+
+            _ = float(run(dq, qq, pos))
+            t0 = time.perf_counter()
+            _ = float(run(dq, qq, pos))
+            return (time.perf_counter() - t0) / args.iters * 1e3
+
+        def mkd(**kw):
+            return DeployConfig.create(
+                n_kv_heads=Hkv, d_head=D, max_len=args.ctx + 21, sink=5,
+                kernel="flash", head_group=4, **kw,
+            )
+
+        dq_nuq = make_dq(bits, affine=False)
+        dq_int4 = make_dq(4, affine=True)
+        results[f"flash_nuq{bits}_slots"] = flash_ms(
+            mkd(bits=bits), dq_nuq)
+        results[f"flash_nuq{bits}_kch"] = flash_ms(
+            mkd(bits=bits, k_outliers="channels"), dq_nuq)
+        results["flash_int4_postk_slots"] = flash_ms(
+            mkd(bits=4, codes="int4", post_rope_k=True), dq_int4)
+        results["flash_int4_postk_kch"] = flash_ms(
+            mkd(bits=4, codes="int4", post_rope_k=True,
+                k_outliers="channels"), dq_int4)
+
+    if args.pack:
+        # bulk prompt packing + one-token append (reference counterparts:
+        # the key/value packing benchmark scripts)
+        from kvquant_tpu.cache import create_cache, deployed_from_quantizers
+
+        pk_dcfg = DeployConfig.create(
+            bits=bits, n_kv_heads=Hkv, d_head=D, max_len=args.ctx + 21,
+            sink=5, head_group=4,
+        )
+        from kvquant_tpu.quant.artifacts import (
+            KQuantizer, VQuantizer, LayerQuantizers, QuantizerSet,
+        )
+        u = (np.abs(rng.normal(size=Hkv * D)) * 2 + 1).astype(np.float32)
+        qs = QuantizerSet(
+            layers=[LayerQuantizers(
+                k=KQuantizer(upper=u, lower=(-0.9 * u).astype(np.float32),
+                             lut=np.sort(nf_signposts(bits))),
+                v=VQuantizer(lut=np.sort(nf_signposts(bits))),
+            )],
+            bits=bits, sparsity_threshold=0.99, cap_outliers=True,
+            first_few_fp16=5,
+        )
+        pdq = deployed_from_quantizers(qs, Hkv, D)
+        Tpk = min(4096, pk_dcfg.cache_tokens)
+        kv_new = jnp.asarray(
+            rng.normal(size=(2, 1, Tpk + 5, Hkv * D)).astype(np.float32)
+        )
+
+        @jax.jit
+        def pack_run(pdq, kv_new):
+            c = create_cache(pk_dcfg, 1, 1).layer(0)
+            c2 = deployed.prefill_pack(
+                c, pdq.layer(0), pk_dcfg, mcfg, kv_new[0], kv_new[1]
+            )
+            return c2.v_scale.sum()
+
+        _ = float(pack_run(pdq, kv_new))
+        t0 = time.perf_counter()
+        _ = float(pack_run(pdq, kv_new))
+        results[f"prefill_pack_{Tpk}tok"] = (time.perf_counter() - t0) * 1e3
+
+        tok_kv = jnp.asarray(
+            rng.normal(size=(2, 1, Hkv * D)).astype(np.float32)
+        )
+
+        @jax.jit
+        def append_run(pdq, tok_kv):
+            c = create_cache(pk_dcfg, 1, 1)
+            arrs = {
+                f: getattr(c, f)
+                for f in ("k_planes", "v_planes", "kv_out", "v_scale",
+                          "v_offset", "k_sink", "v_sink")
+            }
+
+            def body(acc, i):
+                got = deployed.append_token_flash(
+                    arrs, pdq.layer(0), pk_dcfg, mcfg, tok_kv[0], tok_kv[1],
+                    jnp.full((1,), 100, jnp.int32), jnp.int32(0),
+                )
+                return acc + got["v_scale"].reshape(-1)[0], None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=args.iters)
+            return out
+
+        _ = float(append_run(pdq, tok_kv))
+        t0 = time.perf_counter()
+        _ = float(append_run(pdq, tok_kv))
+        results["append_token"] = (
+            (time.perf_counter() - t0) / args.iters * 1e3
+        )
+
+    if args.topk:
+        # reference test_offload_topk.py: decode-time top-k offloaded to
+        # CPU over a side stream. On TPU lax.top_k runs on the VPU.
+        logits = jnp.asarray(rng.normal(size=(1, 32000)).astype(np.float32))
+        results["lax_top_k_50"] = timed_loop(
+            lambda l: jax.lax.top_k(l, 50)[0], logits, iters=args.iters
+        )
+
     planes_mb = planes.size * 4 / 1e6
     fp16_mb = kf.size * 2 / 1e6
     print(f"ctx={args.ctx} Tc={Tc} bits={bits} Hkv={Hkv} D={D} G={G} J={J}")
     print(f"packed cache {planes_mb:.1f} MB/side, fp16 {fp16_mb:.1f} MB/side")
     for name, ms in results.items():
-        print(f"  {name:18s} {ms:8.3f} ms")
+        print(f"  {name:24s} {ms:8.3f} ms")
 
 
 if __name__ == "__main__":
