@@ -322,9 +322,14 @@ def k_channel_onehot(k_ressc, dcfg: DeployConfig):
     sel[..., g, n, c] == 1 iff group g's n-th selected channel is c.
     jax.lax.top_k is deterministic (ties break to the lower index), so the
     append path, the kernels, and the simulated oracle all derive the SAME
-    selection from the same scores."""
+    selection from the same scores.
+
+    The group count comes from the ARRAY size, not dcfg: under the
+    head-sharded shard_map wrapper each shard holds only its local heads'
+    scores and derives its local groups' selection (head groups never
+    straddle tp shards)."""
     gw = dcfg.head_group * dcfg.d_head
-    g = k_ressc.reshape(*k_ressc.shape[:-1], dcfg.n_groups, gw)
+    g = k_ressc.reshape(*k_ressc.shape[:-1], -1, gw)
     idx = jax.lax.top_k(g, dcfg.n_kc)[1]  # (..., n_groups, n_kc)
     return (idx[..., None] == jnp.arange(gw)).astype(jnp.float32)
 

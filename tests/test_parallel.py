@@ -231,3 +231,65 @@ def test_flash_attention_int4_under_shard_map():
     )(*args, lut, jnp.int32(1), pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_channels_under_shard_map():
+    """Static-channel K outliers under the head-sharded shard_map wrapper:
+    k_ressc shards with its heads (P(None, "tp")), so each shard derives
+    its LOCAL per-group selection — identical to the global one because
+    head groups never straddle tp shards."""
+    import numpy as np
+    from functools import partial
+
+    from kvquant_tpu.cache import DeployConfig
+    from kvquant_tpu.models.config import ModelConfig
+    from kvquant_tpu.ops.packing import encode_outlier_words
+    from kvquant_tpu.ops.pallas.flash_decode import flash_attention
+    from kvquant_tpu.parallel import make_mesh
+    from kvquant_tpu.parallel.shardings import flash_attention_sharded
+
+    L, B, Hkv, G, D, bits = 2, 2, 4, 1, 16, 3
+    Tc, S, hg = 256, 5, 2
+    dcfg = DeployConfig.create(bits=bits, n_kv_heads=Hkv, d_head=D,
+                               max_len=Tc + S, sink=S, kernel="flash",
+                               dot_bf16=False, head_group=hg,
+                               k_outliers="channels", n_kc=4)
+    mcfg = ModelConfig(vocab_size=64, d_model=Hkv * D, n_layers=L,
+                       n_heads=Hkv * G, n_kv_heads=Hkv, d_head=D, d_ff=32,
+                       max_seq_len=Tc + 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 14)
+    TW = Tc // 32
+    J, spk = dcfg.n_slots, dcfg.slots_per_kind
+    # K rows: plain residual values; V rows: encoded slot words
+    k_rows = jax.random.normal(ks[3], (L, B, Hkv // hg, spk, Tc)) * 0.1
+    v_rows = encode_outlier_words(
+        jax.random.normal(ks[4], (L, B, Hkv // hg, J - spk, Tc)) * 0.1,
+        jax.random.randint(ks[12], (L, B, Hkv // hg, J - spk, Tc), 0,
+                           hg * 128),
+    )
+    args = (
+        jax.random.normal(ks[0], (B, Hkv, G, D), jnp.float32),
+        jax.random.randint(ks[1], (L, B, Hkv, bits, TW, D), 0, 2**31 - 1),
+        jax.random.randint(ks[2], (L, B, Hkv, bits, TW, D), 0, 2**31 - 1),
+        jnp.concatenate([k_rows, v_rows], axis=3),
+        jax.random.uniform(ks[5], (L, Hkv, D)) + 0.5,
+        jax.random.normal(ks[6], (L, Hkv, D)) * 0.1,
+        jax.random.uniform(ks[7], (L, B, Tc)) + 0.5,
+        jax.random.normal(ks[8], (L, B, Tc)) * 0.1,
+        jax.random.normal(ks[9], (L, B, Hkv, S, D)),
+        jax.random.normal(ks[10], (L, B, Hkv, S, D)),
+        jnp.sort(jax.random.normal(ks[11], (L, 2**bits)), axis=-1),
+    )
+    lut = args[-1]
+    pos = jnp.array([100, 37], jnp.int32)
+    ressc = jax.random.uniform(ks[13], (L, Hkv * D))
+
+    want = flash_attention(*args, lut, jnp.int32(1), pos, dcfg, mcfg,
+                           k_ressc=ressc)
+    mesh = make_mesh(dp=2, tp=2)
+    got = jax.jit(
+        partial(flash_attention_sharded, mesh, dcfg=dcfg, mcfg=mcfg,
+                k_ressc=ressc)
+    )(*args, lut, jnp.int32(1), pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
