@@ -46,11 +46,17 @@ def add_quant_args(ap: argparse.ArgumentParser):
     ap.add_argument("--first-few-fp16", type=int, default=5,
                     help="attention-sink tokens kept exact")
     ap.add_argument("--cap-outliers", action="store_true", default=True)
+    ap.add_argument("--qnorm", action="store_true", default=False)
+    add_storage_args(ap)
+
+
+def add_storage_args(ap: argparse.ArgumentParser):
+    """Deployed-cache storage knobs, shared by the calibration CLI and every
+    deployment-side CLI (deploy/eval_ppl/generate/needle/passkey/serve)."""
     ap.add_argument("--head-group", type=int, default=4,
                     help="kv heads sharing one outlier slot tile (1/2/4; "
                          "auto-clamped to divide the kv-head count). 4 => "
                          "4.9x cache compression at 3-bit, ppl-neutral")
-    ap.add_argument("--qnorm", action="store_true", default=False)
     ap.add_argument("--codes", default="nuq", choices=["nuq", "int4", "int8"],
                     help="code STORAGE: 'nuq' bit-planes + LUT mux (any "
                          "codebook), 'int4'/'int8' hardware intN + affine "

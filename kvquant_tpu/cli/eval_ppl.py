@@ -20,6 +20,7 @@ from ..quant.artifacts import load_quantizers
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(ap)
+    common.add_storage_args(ap)
     common.add_data_args(ap)
     ap.add_argument("--quantizers", default=None,
                     help="npz artifact; omit for the fp16 baseline ppl")

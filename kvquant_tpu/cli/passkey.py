@@ -22,6 +22,7 @@ from ..quant.artifacts import load_quantizers
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(ap)
+    common.add_storage_args(ap)
     ap.add_argument("--quantizers", default=None,
                     help="omit for the fp16 baseline (simulated forward)")
     ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])

@@ -67,3 +67,17 @@ def test_generate(artifacts, capsys):
          "--prompt", "a b c d e f g h i j", "--max-new-tokens", "4"]
     )
     assert capsys.readouterr().out.strip()
+
+
+def test_deploy_check_channels(artifacts, capsys):
+    """--k-outliers channels threads through the CLI into both the
+    deployed config AND the simulated oracle (--check)."""
+    from kvquant_tpu.cli import deploy
+
+    _, quant = artifacts
+    deploy.main(
+        TOY + ["--quantizers", quant, "--benchmark", "4", "--kernel", "xla",
+               "--check", "--k-outliers", "channels", "--n-kc", "2"]
+    )
+    out = capsys.readouterr().out
+    assert "simulated ppl" in out and "deployed ppl" in out
