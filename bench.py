@@ -57,6 +57,7 @@ def main():
     post_rope = os.environ.get("BENCH_POSTROPE", "0") == "1"
     k_out = os.environ.get("BENCH_KOUT", "slots")  # slots | channels
     n_kc = int(os.environ.get("BENCH_NKC", 4))
+    cap = int(os.environ.get("BENCH_CAP", 2))  # outlier slots per side
     scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
     if post_rope:
         scheme += "_postk"
@@ -92,6 +93,7 @@ def main():
         max_len=ctx + steps + 5, sink=5, kernel=kernel,
         include_sparse=sparse, head_group=head_group, dot_bf16=dot_bf16,
         codes=codes, post_rope_k=post_rope, k_outliers=k_out, n_kc=n_kc,
+        cap_per_side=cap,
     )
     if kernel == "flash":
         import kvquant_tpu.ops.pallas.flash_decode as _fd
@@ -102,7 +104,9 @@ def main():
             kw.setdefault("block_tokens", blk)
             return _orig(*a, **kw)
         _fd.flash_attention = _fa
-        _fd.flash_decode.__defaults__ = (blk,)
+        _fd.flash_decode.__defaults__ = (
+            (blk,) + _fd.flash_decode.__defaults__[1:]
+        )
     dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
 
     # The decode loop must live ON DEVICE (lax.scan): per-dispatch round

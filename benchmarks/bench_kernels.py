@@ -68,6 +68,8 @@ def main(argv=None):
     ap.add_argument("--acts", default=None,
                     help="npz from capture_activations.py (else synthetic)")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--bt", type=int, default=1024,
+                    help="flash kernel token-block size")
     ap.add_argument("--flash", action="store_true",
                     help="single-pass flash kernel variants (nuq/int4/"
                          "channels/post-RoPE)")
@@ -180,7 +182,7 @@ def main(argv=None):
                         dq.k_offset, c.v_scale, c.v_offset, c.k_sink,
                         c.v_sink, dq.k_lut_dec, dq.v_lut_dec,
                         jnp.int32(0), pos, fdcfg, mcfg,
-                        k_ressc=dq.k_ressc,
+                        block_tokens=args.bt, k_ressc=dq.k_ressc,
                     )
                     return acc + o.reshape(-1)[0], None
 
@@ -209,6 +211,15 @@ def main(argv=None):
         results["flash_int4_postk_kch"] = flash_ms(
             mkd(bits=4, codes="int4", post_rope_k=True,
                 k_outliers="channels"), dq_int4)
+        # decomposition points: outliers fully off, and K-channels with the
+        # per-token V slots disabled (cap 0) — the deltas isolate the V-slot
+        # vs K-channel kernel cost
+        results["flash_int4_postk_nosparse"] = flash_ms(
+            mkd(bits=4, codes="int4", post_rope_k=True,
+                include_sparse=False), dq_int4)
+        results["flash_int4_postk_kch_cap0"] = flash_ms(
+            mkd(bits=4, codes="int4", post_rope_k=True,
+                k_outliers="channels", cap_per_side=0), dq_int4)
 
     if args.pack:
         # bulk prompt packing + one-token append (reference counterparts:

@@ -474,7 +474,7 @@ def prefill_quantized(
     pad = n_chunks * chunk - n_pack
     toks = jnp.pad(tokens, ((0, 0), (0, pad)))
 
-    @partial(jax.jit, static_argnames=("sink_fill",))
+    @partial(jax.jit, static_argnames=("sink_fill",), donate_argnums=(2,))
     def chunk_step(params, dq, cache, tok_blk, pos0, sink_fill):
         return prefill_chunk(
             params, cfg, dcfg, dq, cache, tok_blk, pos0, sink_fill
@@ -484,11 +484,41 @@ def prefill_quantized(
     cache, logits = chunk_step(
         params, dq, cache, toks[:, : S + chunk], jnp.int32(S), True
     )
-    for ci in range(1, n_chunks):
-        a = S + ci * chunk
-        cache, logits = chunk_step(
-            params, dq, cache, toks[:, a : a + chunk], jnp.int32(a), False
-        )
+
+    if n_chunks > 1:
+        # Remaining chunks run in ONE device-side lax.scan (cache donated,
+        # aliased in place). A host-driven per-chunk dispatch loop costs
+        # ~1.5-2s of remote-execution latency per chunk through the axon
+        # tunnel — at 64K/chunk=256 that was 256 dispatches dominating a
+        # 617s prefill (NOTES_ROUND2); the scan makes long-prompt prefill
+        # device-time-bound.
+        blks = jnp.moveaxis(
+            toks[:, S + chunk :].reshape(B, n_chunks - 1, chunk), 1, 0
+        )  # (n_chunks-1, B, chunk)
+        pos0s = S + chunk * jnp.arange(1, n_chunks, dtype=jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def rest_chunks(params, dq, cache, blks, pos0s):
+            arrays, length = _split_cache(cache)
+            logits0 = jnp.zeros(
+                (B, chunk, params["embed"].shape[0]), jnp.float32
+            )
+
+            def body(carry, xs):
+                arrs, ln, _ = carry
+                c = _merge_cache(arrs, ln)
+                c, lg = prefill_chunk(
+                    params, cfg, dcfg, dq, c, xs["t"], xs["p"], False
+                )
+                a, l = _split_cache(c)
+                return (a, l, lg), None
+
+            (arrays, length, logits), _ = jax.lax.scan(
+                body, (arrays, length, logits0), {"t": blks, "p": pos0s}
+            )
+            return _merge_cache(arrays, length), logits
+
+        cache, logits = rest_chunks(params, dq, cache, blks, pos0s)
 
     # logits of the last REAL token (pad-safe)
     last_in_chunk = (T0 - 1) - (S + (n_chunks - 1) * chunk) if n_chunks > 1 \

@@ -22,10 +22,12 @@ Why a single pass (vs ops/pallas/attention.py's qk_fused + pv_fused):
     and the validity mask — the dominant VPU transcendental cost — are
     computed once per token block (at g == 0, into VMEM scratch) and reused
     by every head, instead of per (head, block);
-  - K outliers are added to the dequantized key BEFORE RoPE (RoPE is
-    linear, rope(k + M) == rope(k) + rope(M)), so the sparse application is
-    a plain one-hot accumulate — ~3 VPU ops/slot/element vs ~8 for the
-    post-RoPE cos/sin-masked form the two-kernel path uses;
+  - sparse outliers apply as SCORE/OUTPUT corrections on the MXU: per-slot
+    (BT, D) one-hot value tiles (built once per head group, 2 VPU ops per
+    slot tile) contract against the query / probabilities, so the VPU —
+    the machine's bound at ~2.1 ops per HBM byte — never touches an
+    O(BT x hg*D) densified addend. K outliers commute with RoPE via
+    linearity: q.rope(m) = q.(E*cos) + rot(q).(E*sin);
   - the attention-sink prefix (reference kcache_fp16/vcache_fp16,
     modeling_llama.py:1464-1466) initializes the online-softmax state at
     t == 0 in-kernel — no separate XLA matmuls and no LSE merge outside;
@@ -88,29 +90,35 @@ def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
-def _outlier_m_group(ow, D: int, BT: int, hg: int, n_live: int = None):
-    """(J, BT) encoded outlier words of ONE head group -> dense
-    (BT, hg*D) addend over the group's dims (9-bit head<<7|dim index).
+def _outlier_e_slots(ow, D: int, BT: int, n_live: int):
+    """(J, BT) encoded outlier words -> (E (n_live*BT, D) fp32, heads).
 
-    Building the addend once per GROUP (instead of per head with head
-    masking) divides the dominant per-slot one-hot cost by hg: 4 slots over
-    a (BT, 4*128) tile cost the same as 1 slot over (BT, 128). Each slot
-    is a compare + select(ov, 0) + add — 3 VPU ops per tile element (the
-    select-into-0 replaces the onehot-to-float + multiply 2-op form;
-    collisions still SUM, so zero-valued padding slots stay harmless).
-    ``n_live``: statically known live slots (2*cap_per_side) — tile-padding
-    slots beyond it are structurally zero and skip their build entirely."""
-    J = ow.shape[0] if n_live is None else min(ow.shape[0], n_live)
+    E stacks one (BT, D) tile per live slot with the outlier VALUE placed
+    at its dim column (9-bit head<<7|dim index; the 2 head bits are NOT
+    encoded in E — they come back as per-slot (1, BT) lane vectors for the
+    caller to mask with). ``heads`` is that list.
+
+    This replaces whole-group densification (a (BT, hg*D) addend built
+    with compare+select+add per slot = 3 VPU ops per GROUP element per
+    slot — measured as the dominant step cost once intN dequant made the
+    dense path cheap): E costs 2 VPU ops per (BT, D) tile per slot —
+    2*J/hg ops per group element, 6x less at J=4, hg=4 — is shared by all
+    heads of the group, and its application is an MXU contraction against
+    the probabilities/query (the MXU idles in this VPU-bound kernel).
+    Padding slots beyond ``n_live`` (2*cap_per_side) are structurally zero
+    and skip their build entirely."""
+    J = min(ow.shape[0], n_live)
+    u0 = pltpu.bitcast(ow, jnp.uint32)  # (J_full, BT)
+    heads = [(u0[s:s + 1] >> 7 & jnp.uint32(0x3)).astype(jnp.int32)
+             for s in range(J)]
     w = jnp.transpose(ow)  # (BT, J_full)
     u = pltpu.bitcast(w, jnp.uint32)
-    oi9 = (u & jnp.uint32(0x1FF)).astype(jnp.int32)
-    col = (oi9 >> 7) * D + (oi9 & 0x7F)  # dense column in group space
+    dim = (u & jnp.uint32(0x7F)).astype(jnp.int32)
     ov = pltpu.bitcast(u & jnp.uint32(0xFFFFFE00), jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BT, hg * D), 1)
-    M = jnp.zeros((BT, hg * D), jnp.float32)
-    for j in range(J):
-        M += jnp.where(iota == col[:, j:j + 1], ov[:, j:j + 1], 0.0)
-    return M
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BT, D), 1)
+    es = [jnp.where(iota == dim[:, s:s + 1], ov[:, s:s + 1], 0.0)
+          for s in range(J)]
+    return es, heads
 
 
 def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
@@ -147,7 +155,10 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     if n_live_v is None:
         n_live_v = n_live
     k_channels = sparse and k_mode == "channels"
+    k_slots = sparse and k_mode == "slots" and n_live > 0
     v_sparse = sparse and (n_live_v is None or n_live_v > 0)
+    Jk = min(spk, n_live) if k_slots else 0
+    Jv = min(J - spk, n_live_v) if v_sparse else 0
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -233,19 +244,29 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         if not post_k:
             cos = cs_ref[0]
             sin = cs_ref[1]
-        # group outlier addends built ONCE for all hg heads of this step
+        # group outlier tiles built ONCE for all hg heads of this step
         if k_channels:
             # static-channel K residuals: NO densification — the rows are
             # plain residual values applied via small MXU contractions
             # against the per-layer one-hot selection matrix
             Rk = ow_ref[0, 0, 0, :spk]   # (n_kc, BT)
             sel = ksel_ref[0, 0]         # (n_kc, hg*D)
-        elif sparse:
-            Mk = _outlier_m_group(ow_ref[0, 0, 0, :spk], D, BT, hg, n_live)
+        elif k_slots:
+            ek, kheads = _outlier_e_slots(ow_ref[0, 0, 0, :spk], D, BT, Jk)
+            # sublane-axis concat legalizes on Mosaic (lane-axis doesn't) —
+            # one stacked dot per head instead of Jk small ones
+            Ek = jnp.concatenate(ek, axis=0) if Jk > 1 else ek[0]
+            if not post_k:
+                # pre-RoPE K storage: the correction enters the SCORE as
+                # q . rope_t(E_t) = q . (E*cos) + rot(q) . (E*sin) with
+                # rot(q) = [q_hi, -q_lo] — two per-slot elementwise
+                # products shared by every head, then MXU dots per head
+                ekc = [e * cs_ref[0] for e in ek]
+                eks = [e * cs_ref[1] for e in ek]
+                Ekc = jnp.concatenate(ekc, axis=0) if Jk > 1 else ekc[0]
+                Eks = jnp.concatenate(eks, axis=0) if Jk > 1 else eks[0]
         if v_sparse:
-            Mv = _outlier_m_group(
-                ow_ref[0, 0, 0, spk:], D, BT, hg, n_live_v
-            )
+            ev, vheads = _outlier_e_slots(ow_ref[0, 0, 0, spk:], D, BT, Jv)
         if codes == "nuq":
             klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
             vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
@@ -292,13 +313,17 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                elif sparse:
-                    s_blk += jax.lax.dot_general(
-                        q.astype(ct),
-                        Mk[:, j * D:(j + 1) * D].astype(ct),
-                        (((1,), (1,)), ((), ())),
+                elif k_slots:
+                    # q . E over the stacked slot tiles — one MXU dot,
+                    # then per-slot head-masked adds (O(Q*BT) VPU)
+                    qe = jax.lax.dot_general(
+                        q.astype(ct), Ek.astype(ct), (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
+                    )  # (Q, Jk*BT)
+                    for s in range(Jk):
+                        s_blk += jnp.where(
+                            kheads[s] == j, qe[:, s * BT:(s + 1) * BT], 0.0
+                        )
                 s_blk = (s_blk + zq) * inv + mask_ref[...]
             else:
                 # K: unpack + dequant + outliers + [RoPE] + QK^T
@@ -321,8 +346,6 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                elif sparse:
-                    kd += Mk[:, j * D:(j + 1) * D]
                 if post_k:
                     kx = kd  # keys stored post-RoPE: zero rotation ops
                 else:
@@ -334,8 +357,36 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 s_blk = jax.lax.dot_general(
                     q.astype(ct), kx.astype(ct), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * inv  # (Q, BT)
-                s_blk = s_blk + mask_ref[...]
+                )  # (Q, BT)
+                if k_slots:
+                    # slot corrections enter the SCORE (RoPE is linear:
+                    # q.rope(kd + m) = q.rope(kd) + q.rope(m)); rope(m)
+                    # contracts as q.(E*cos) + rot(q).(E*sin) with
+                    # rot(q) = [q_hi, -q_lo] (post-RoPE storage: plain q.E)
+                    if post_k:
+                        qe = jax.lax.dot_general(
+                            q.astype(ct), Ek.astype(ct),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        rotq = jnp.concatenate(
+                            [q[:, half:], -q[:, :half]], axis=1
+                        )
+                        qe = jax.lax.dot_general(
+                            q.astype(ct), Ekc.astype(ct),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) + jax.lax.dot_general(
+                            rotq.astype(ct), Eks.astype(ct),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (Q, Jk*BT)
+                    for s in range(Jk):
+                        s_blk += jnp.where(
+                            kheads[s] == j, qe[:, s * BT:(s + 1) * BT], 0.0
+                        )
+                s_blk = s_blk * inv + mask_ref[...]
 
             # online softmax update
             m_old = m_ref[h][:, :1]  # (Q, 1)
@@ -353,8 +404,10 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             else:
                 # signed codes contract directly against the scale-folded
                 # probabilities: V dequant is ONE convert per element (the
-                # per-token affine ride in vsc/voff, transformed upstream)
-                vd = vp_ref[0, 0, j].astype(jnp.float32)
+                # per-token affine ride in vsc/voff, transformed upstream).
+                # Converting straight to the dot's element type skips the
+                # f32 intermediate cast.
+                vd = vp_ref[0, 0, j].astype(ct)
             ps = p * vsc_eff  # fold per-token scale into probabilities
             pv = jax.lax.dot_general(
                 ps.astype(ct), vd.astype(ct), (((1,), (0,)), ((), ())),
@@ -362,11 +415,15 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             )  # (Q, D)
             pv = pv + jnp.sum(p * voff_eff, axis=-1, keepdims=True)
             if v_sparse:
-                pv += jax.lax.dot_general(
-                    p.astype(ct), Mv[:, j * D:(j + 1) * D].astype(ct),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                # head-masked probabilities against each slot's value tile
+                # (per-slot MXU dots: a lane-axis concat of the (Q, BT)
+                # masked tiles does not legalize on Mosaic)
+                for s in range(Jv):
+                    pv += jax.lax.dot_general(
+                        jnp.where(vheads[s] == j, p, 0.0).astype(ct),
+                        ev[s].astype(ct), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
             out_ref[0, h] = out_ref[0, h] * alpha + pv
 
