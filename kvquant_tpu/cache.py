@@ -363,6 +363,25 @@ def affine_lut_coeffs(lut, tol: float = 1e-4):
     return a, b
 
 
+def check_intn_codebook(dcfg, dq) -> None:
+    """Eager guard for the intN storage modes: their dequant folds the
+    codebook into an affine (a + b*code) form from its ENDPOINTS
+    (flash_decode.fold_affine), so a non-affine codebook — e.g. a
+    Fisher-weighted k-means NUQ fit — would silently mis-dequantize in the
+    kernels while the XLA lut_lookup path stays exact. Raise loudly at the
+    deploy boundary instead. No-op for codes == "nuq" and under tracing
+    (values unavailable; every public entry also checks eagerly)."""
+    if dcfg.codes == "nuq":
+        return
+    try:
+        k = np.asarray(dq.k_lut_dec)
+        v = np.asarray(dq.v_lut_dec)
+    except Exception:  # tracer: values unavailable under jit
+        return
+    affine_lut_coeffs(k)
+    affine_lut_coeffs(v)
+
+
 def deployed_from_quantizers(qs, n_kv_heads: int, d_head: int) -> DeployedQuant:
     def stack(fn):
         return jnp.asarray(np.stack([fn(lq) for lq in qs.layers]), jnp.float32)

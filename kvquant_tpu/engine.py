@@ -31,7 +31,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from .cache import KVCache, DeployConfig, DeployedQuant, create_cache
+from .cache import (KVCache, DeployConfig, DeployedQuant, create_cache,
+                    check_intn_codebook)
 from .models.config import ModelConfig
 from .models import llama
 from .ops import deployed
@@ -107,6 +108,7 @@ def decode_step(
     """
     from .models.moe import MoEConfig, split_qkv, moe_ffn
 
+    check_intn_codebook(dcfg, dq)
     if dcfg.kernel == "flash":
         return _decode_step_flash(params, cfg, dcfg, dq, cache, token, pos)
 
@@ -300,6 +302,7 @@ def generate(
     cache). Positions past ``dcfg.max_len`` or after EOS emit ``eos`` (or 0)
     — generation stops contributing but shapes stay static."""
     B, T0 = prompt.shape
+    check_intn_codebook(dcfg, dq)
     if cache is None:
         cache = create_cache(dcfg, cfg.n_layers, B)
     if key is None:
@@ -457,6 +460,7 @@ def prefill_quantized(
     (cache, logits_last (B, V) fp32). Pad tokens beyond T0 (to reach chunk
     alignment) are packed but masked from all real queries and overwritten
     by subsequent decode steps."""
+    check_intn_codebook(dcfg, dq)
     B, T0 = tokens.shape
     S = dcfg.sink
     assert T0 > S, "prompt must extend beyond the sink prefix"

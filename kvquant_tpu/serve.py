@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from . import engine
-from .cache import KVCache, DeployConfig, DeployedQuant, create_cache
+from .cache import (KVCache, DeployConfig, DeployedQuant, create_cache,
+                    check_intn_codebook)
 from .models.config import ModelConfig
 
 
@@ -80,6 +81,7 @@ class Server:
         self.n = n_slots
         self.admit_mode = admit_mode
         self.admit_chunk = admit_chunk
+        check_intn_codebook(dcfg, dq)
         self.cache = create_cache(dcfg, cfg.n_layers, n_slots)
         self.queue: deque[Request] = deque()
         self.active: list[Request | None] = [None] * n_slots

@@ -157,3 +157,29 @@ def test_cache_bytes_accounting():
     b_int8 = cache_bytes(DeployConfig.create(codes="int8", **common), 2, 1)
     assert b_int4["packed"] == b_nuq["packed"]  # 4-bit planes == int4
     assert b_int8["packed"] == 2 * b_int4["packed"]
+
+
+def test_intn_nuq_codebook_guarded_at_deploy():
+    """codes='int4' + a k-means (non-affine) codebook must raise at every
+    eager deploy entry, not silently mis-dequantize in the flash kernel
+    (fold_affine fits the codebook's ENDPOINTS; a non-affine lut would
+    diverge from the XLA lut_lookup path by O(0.1) logits)."""
+    cfg = TINY_LLAMA
+    params, dq, _ = _setup(cfg, mode="nuq")
+
+    def mk(kernel):
+        return DeployConfig.create(
+            bits=4, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+            max_len=69, sink=5, kernel=kernel, dot_bf16=False, codes="int4",
+        )
+
+    cache = create_cache(mk("flash"), cfg.n_layers, 1)
+    tok = jnp.zeros((1,), jnp.int32)
+    for kernel in ("flash", "xla"):
+        with pytest.raises(ValueError, match="affine"):
+            engine.decode_step(params, cfg, mk(kernel), dq, cache, tok,
+                               jnp.int32(0))
+    with pytest.raises(ValueError, match="affine"):
+        engine.prefill_quantized(
+            params, cfg, mk("flash"), dq, cache,
+            jnp.zeros((1, 10), jnp.int32), chunk=128)
