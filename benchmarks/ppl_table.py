@@ -207,6 +207,27 @@ def main():
     rows["deployed_speed_config"] = dep
     print(f"deployed speed config (int4+postk+kch, flash) ppl {dep:.4f}")
 
+    # speed config with the per-token V outlier slots OFF (cap_per_side=0):
+    # kernel decomposition shows the V slots cost ~0.35 ms/layer at 32K —
+    # a third of the whole decode step — while K outliers already moved to
+    # static channels. This row tracks what dropping them costs in ppl.
+    sq = simquant_from_quantizers(
+        qs, v_mode="topk", n_kv_heads=cfg.n_kv_heads, head_group=4,
+        k_outliers="channels", cap_per_side=0,
+    )
+    ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+    rows["speed_config_cap0"] = ppl
+    print(f"speed config cap0 (no V slots) ppl {ppl:.4f}  "
+          f"(delta {ppl - ppl_fp16:+.4f})")
+    dcfg = DeployConfig.create(
+        bits=4, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=261, sink=5, head_group=4, codes="int4", post_rope_k=True,
+        k_outliers="channels", kernel="flash", cap_per_side=0,
+    )
+    dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+    rows["deployed_speed_config_cap0"] = dep
+    print(f"deployed speed config cap0 ppl {dep:.4f}")
+
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
 
 
