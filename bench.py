@@ -8,7 +8,7 @@ round). Prints ONE JSON line:
 The reference's headline deployment claim is quantized-cache decode at long
 context vs an fp16 cache (deployment/llama.py benchmark loop; north star
 >=2x at 128K). Model size / context are environment-tunable:
-  BENCH_CTX (default 131072), BENCH_STEPS (default 16), BENCH_BITS (default 4)
+  BENCH_CTX (default 131072), BENCH_STEPS (default 64), BENCH_BITS (default 4)
 """
 
 from __future__ import annotations
@@ -50,7 +50,10 @@ def main():
     # BT=2048 token blocks (int4 halves VMEM vs nuq3, which OOMed there).
     # The round-1 nuq3 config remains fully benchable via the env knobs.
     ctx = int(os.environ.get("BENCH_CTX", 131072))
-    steps = int(os.environ.get("BENCH_STEPS", 16))
+    # 64 steps: the int4 cache is zero-built INSIDE the timed jit (axon
+    # boundary; see the int4 decode-loop note below) — 16 steps left ~0.3
+    # ms/step of one-time build in the per-step figure
+    steps = int(os.environ.get("BENCH_STEPS", 64))
     bits = int(os.environ.get("BENCH_BITS", 4))
     n_layers = int(os.environ.get("BENCH_LAYERS", 8))
     kernel = os.environ.get("BENCH_KERNEL", "flash")
