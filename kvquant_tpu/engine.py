@@ -220,8 +220,11 @@ def _decode_step_flash(
             k = h @ lp["wk"]
             v = h @ lp["wv"]
 
+        # pass ``pos`` UN-broadcast: a scalar position takes the batch-wide
+        # in-place append (see append_token_flash — the vmapped per-b form
+        # lowers to full-array copies at B > 1)
         arrs = deployed.append_token_flash(
-            arrs, lq, dcfg, cfg, k, v, posb, li
+            arrs, lq, dcfg, cfg, k, v, pos, li
         )
 
         q_h = q.reshape(B, Hkv, G, Dh).astype(jnp.float32)

@@ -129,6 +129,31 @@ def set_token_codes_at_layer(planes, codes, li, pos, pred=None):
     return jax.lax.dynamic_update_slice(planes, new, (li, 0, 0, w, 0))
 
 
+def set_token_codes_at_layer_uniform(planes, codes, li, pos, pred=None):
+    """Batched variant of set_token_codes_at_layer for a position UNIFORM
+    across the batch: planes (L, B, H, bits, TW, D), codes (B, H, D),
+    li/pos traced scalars, pred scalar bool. One dynamic_update_slice over
+    the whole batch — XLA aliases it in place, whereas a vmap of per-b
+    writes lowers to a scatter that copies the full planes array every
+    layer (measured 3.7 ms per plane array per layer at B=4, 32K ctx)."""
+    L, B, Hh, bits, TW, D = planes.shape
+    w, j = token_word_bit(pos)
+    j = jnp.asarray(j, jnp.uint32)
+    old = jax.lax.dynamic_slice(
+        planes, (li, 0, 0, 0, w, 0), (1, B, Hh, bits, 1, D)
+    )
+    row = old.astype(jnp.uint32)
+    shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(1, 1, 1, bits, 1, 1)
+    bitvals = (
+        (codes.astype(jnp.uint32)[None, :, :, None, None, :] >> shifts) & 1
+    ) << j
+    row = (row & ~(jnp.uint32(1) << j)) | bitvals
+    new = row.astype(planes.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice(planes, new, (li, 0, 0, 0, w, 0))
+
+
 # ---------------------------------------------------------------------------
 # hardware intN code storage (DeployConfig.codes "int4"/"int8")
 #

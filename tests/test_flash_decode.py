@@ -290,3 +290,54 @@ def test_flash_no_sparse_no_sink():
     assert np.quantile(diff, 0.5) < 5e-3 and diff.max() < 0.25, (
         np.quantile(diff, 0.5), diff.max()
     )
+
+
+@pytest.mark.parametrize("codes,bits", [("nuq", 3), ("int4", 4)])
+def test_append_uniform_matches_vmapped(codes, bits):
+    """A scalar ``pos`` takes the batch-wide in-place append; a (B,) pos
+    vmaps per-b row writes (which XLA lowers to full-array copies — the
+    scalar form exists to avoid that at B > 1). Same position => bit-equal
+    caches, at a sink position and at a packed position."""
+    from kvquant_tpu.ops import deployed
+
+    cfg = TINY_GQA
+    params, dq, mk = _setup(cfg, bits=bits)
+    dcfg = mk("flash") if codes == "nuq" else DeployConfig.create(
+        bits=bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=69, sink=5, kernel="flash", dot_bf16=False, codes="int4",
+    )
+    if codes == "int4":
+        # int container needs an affine codebook
+        from kvquant_tpu.quant.calibration import (
+            collect_kv_activations, fit_quantizers,
+        )
+        cal = jax.random.randint(
+            jax.random.PRNGKey(7), (2, 40), 0, cfg.vocab_size)
+        k_acts, v_acts = collect_kv_activations(params, cfg, [cal])
+        qs = fit_quantizers(
+            k_acts, v_acts, bits=bits, sparsity_threshold=0.99,
+            cap_outliers=True, first_few_fp16=5, sample_seqlen=40,
+            kmeans_iters=10, mode="uniform",
+        )
+        dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+
+    B = 3
+    C = cfg.n_kv_heads * cfg.d_head
+    key = jax.random.PRNGKey(11)
+    k_new = jax.random.normal(key, (B, C), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(key, 1), (B, C), jnp.float32)
+    cache = create_cache(dcfg, cfg.n_layers, B)
+    FIELDS = ("k_planes", "v_planes", "kv_out", "v_scale", "v_offset",
+              "k_sink", "v_sink")
+    arrs = {f: getattr(cache, f) for f in FIELDS}
+
+    for pos_val in (3, 12):  # sink row / packed row
+        uni = deployed.append_token_flash(
+            arrs, dq.layer(1), dcfg, cfg, k_new, v_new,
+            jnp.int32(pos_val), jnp.int32(1))
+        perb = deployed.append_token_flash(
+            arrs, dq.layer(1), dcfg, cfg, k_new, v_new,
+            jnp.full((B,), pos_val, jnp.int32), jnp.int32(1))
+        for f in FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(uni[f]), np.asarray(perb[f]), err_msg=f)
