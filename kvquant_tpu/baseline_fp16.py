@@ -37,10 +37,15 @@ def create_fp16_cache(cfg: ModelConfig, max_len: int, batch: int,
     )
 
 
-def prefill(params, cfg: ModelConfig, cache: Fp16Cache, tokens):
-    """Full forward over the prompt; store post-RoPE K and V."""
+def prefill(params, cfg: ModelConfig, cache: Fp16Cache, tokens,
+            attn_chunk: int | None = None):
+    """Full forward over the prompt; store post-RoPE K and V.
+    ``attn_chunk`` forwards to llama._attention's blockwise mode — required
+    for long prompts where (T, T) score tensors would not fit."""
     B, T0 = tokens.shape
-    logits, aux = llama.forward(params, cfg, tokens, capture_kv=True)
+    logits, aux = llama.forward(
+        params, cfg, tokens, capture_kv=True, attn_chunk=attn_chunk
+    )
     cos, sin = llama.rope_cos_sin(jnp.arange(T0, dtype=jnp.int32), cfg)
 
     k = aux["k_acts"].reshape(-1, B, T0, cfg.n_kv_heads, cfg.d_head)
