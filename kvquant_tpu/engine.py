@@ -458,6 +458,12 @@ def prefill_quantized(
     cache: KVCache,
     tokens,  # (B, T0) int32 prompt
     chunk: int = 256,  # multiple of 128
+    max_scan_chunks: int | None = None,  # split the device scan into
+    # host dispatches of at most this many chunks. Prefill is O(T0^2)
+    # compute; a >=256K prompt in ONE dispatch runs many minutes and TPU
+    # runtimes can kill the worker mid-execution (observed through the
+    # remote tunnel). Segments re-dispatch at ~1.5-2s each — negligible
+    # against multi-minute device time. None = single scan.
 ):
     """Chunked prefill through the quantized datapath. Returns
     (cache, logits_last (B, V) fp32). Pad tokens beyond T0 (to reach chunk
@@ -506,6 +512,8 @@ def prefill_quantized(
 
         @partial(jax.jit, donate_argnums=(2,))
         def rest_chunks(params, dq, cache, blks, pos0s):
+            # one compiled program per distinct segment length (at most 2
+            # under max_scan_chunks: the full segment and the remainder)
             arrays, length = _split_cache(cache)
             logits0 = jnp.zeros(
                 (B, chunk, params["embed"].shape[0]), jnp.float32
@@ -525,7 +533,15 @@ def prefill_quantized(
             )
             return _merge_cache(arrays, length), logits
 
-        cache, logits = rest_chunks(params, dq, cache, blks, pos0s)
+        if max_scan_chunks is None:
+            cache, logits = rest_chunks(params, dq, cache, blks, pos0s)
+        else:
+            nrest = n_chunks - 1
+            for a in range(0, nrest, max_scan_chunks):
+                b = min(a + max_scan_chunks, nrest)
+                cache, logits = rest_chunks(
+                    params, dq, cache, blks[a:b], pos0s[a:b]
+                )
 
     # logits of the last REAL token (pad-safe)
     last_in_chunk = (T0 - 1) - (S + (n_chunks - 1) * chunk) if n_chunks > 1 \

@@ -10,8 +10,13 @@ primary tools are:
     outlier-padding regression was found.
   - device_timed(fn, *args, iters): on-device lax.scan loop + value fetch,
     the only wall-clock method that survives the remote tunnel.
-  - trace(path): jax.profiler trace context (works on directly-attached
-    devices; may be unavailable through remote execution tunnels).
+  - trace(path): jax.profiler trace context. VERIFIED working through the
+    axon remote-execution tunnel (device-side xplane/trace.json.gz with
+    per-op durations) — this is how the batched-append regression was
+    found: vmapped per-b dynamic_update_slice appends showed up as
+    copy/copy_bitcast_fusion ops copying the full int4 plane arrays every
+    layer (~14.6 ms/layer at B=4/32K). Workflow: trace a jitted loop, then
+    sum "X"-phase event durations per op name on the /device:TPU pid.
 """
 
 from __future__ import annotations

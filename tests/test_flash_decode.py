@@ -341,3 +341,30 @@ def test_append_uniform_matches_vmapped(codes, bits):
         for f in FIELDS:
             np.testing.assert_array_equal(
                 np.asarray(uni[f]), np.asarray(perb[f]), err_msg=f)
+
+
+def test_prefill_segmented_scan_matches_single():
+    """max_scan_chunks splits the device-side chunk scan into bounded host
+    dispatches (long prefills in one dispatch got the TPU worker killed);
+    any segmentation must be bit-identical to the single-scan path."""
+    cfg = TINY_LLAMA
+    params, dq, mk = _setup(cfg, max_len=600)
+    dcfg = mk("flash")
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(3), (2, 540), 0, cfg.vocab_size)
+
+    def run(seg):
+        return engine.prefill_quantized(
+            params, cfg, dcfg, dq, create_cache(dcfg, cfg.n_layers, 2),
+            tokens, chunk=128, max_scan_chunks=seg)
+
+    cache_1, logits_1 = run(None)
+    for seg in (1, 2):  # 4 rest-chunks: even split and remainder split
+        cache_s, logits_s = run(seg)
+        np.testing.assert_array_equal(
+            np.asarray(logits_s), np.asarray(logits_1), err_msg=f"seg={seg}")
+        for f in ("k_planes", "v_planes", "kv_out", "v_scale", "v_offset",
+                  "k_sink", "v_sink"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)),
+                np.asarray(getattr(cache_1, f)), err_msg=f"{f} seg={seg}")
