@@ -1,0 +1,169 @@
+"""REAL retrieval accuracy at long context through the quantized cache.
+
+The toy-bigram needle grid (benchmarks/needle_demo.py) can only measure
+fp16 PARITY — the bigram model has no retrieval ability. This demo runs
+the (ctx x depth) grid on the INDUCTION checkpoint
+(kvquant_tpu/utils/induction.py: trained key->value retrieval with
+position-jump length generalization to 128K), so each cell reports
+retrieval ACCURACY — exact greedy emission of the needle's value tokens —
+for BOTH the quantized engine and the fp16 engine. The deployment-relevant
+number is the quant-vs-fp16 accuracy delta: the reference's own needle
+claim (lwm/README.md:5-9, figs/haystack.png) is that KVQuant preserves
+retrieval; here that claim is measured with a model that actually
+retrieves.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/retrieval_demo.py \
+      [--ctx 16384,65536] [--depths 0,50,100] [--trials 2] [--bits 3]
+
+Writes benchmarks/retrieval_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def get_quantizers(bits: int, params, cfg, log):
+    """Load or fit (and save) quantizers calibrated on the induction
+    model's own activations — same pipeline as cli/calibrate.py."""
+    from kvquant_tpu.quant.artifacts import load_quantizers, save_quantizers
+    from kvquant_tpu.quant.calibration import (
+        collect_kv_activations, fit_quantizers,
+    )
+    from kvquant_tpu.utils.induction import sample_batch
+    import jax
+
+    path = f"artifacts/induction_quantizers_{bits}bit.npz"
+    if os.path.exists(path):
+        return load_quantizers(path)
+    log(f"calibrating {bits}-bit quantizers on induction activations ...")
+    toks, _, _ = sample_batch(jax.random.PRNGKey(7), 8, 512, 2)
+    k_acts, v_acts = collect_kv_activations(params, cfg, [toks])
+    qs = fit_quantizers(
+        k_acts, v_acts, bits=bits, sparsity_threshold=0.99,
+        cap_outliers=True, first_few_fp16=5, sample_seqlen=512,
+        kmeans_iters=20,
+    )
+    save_quantizers(path, qs)
+    return qs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kvquant_tpu import engine, baseline_fp16
+    from kvquant_tpu.cache import (
+        DeployConfig, create_cache, deployed_from_quantizers,
+    )
+    from kvquant_tpu.utils.induction import (
+        IND_CFG, VL, build_retrieval_prompt, cached_induction_model,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ctx", default="16384,65536")
+    ap.add_argument("--depths", default="0,50,100")
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--bits", type=int, default=3)
+    ap.add_argument("--out", default="benchmarks/retrieval_results.json")
+    args = ap.parse_args()
+
+    def log(m):
+        print(f"[retrieval] {m}", file=sys.stderr, flush=True)
+
+    ctxs = [int(c) for c in args.ctx.split(",")]
+    depths = [float(d) for d in args.depths.split(",")]
+    max_ctx = max(ctxs)
+
+    params, loss = cached_induction_model(log=log)
+    log(f"induction checkpoint loaded (train masked loss {loss:.3f})")
+    cfg = dataclasses.replace(IND_CFG, max_seq_len=max_ctx + 64)
+    qs = get_quantizers(args.bits, params, cfg, log)
+    dq = deployed_from_quantizers(qs, cfg.n_kv_heads, cfg.d_head)
+    dcfg = DeployConfig.create(
+        bits=qs.bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=max_ctx + VL + 8, sink=qs.first_few_fp16,
+        kernel="flash", head_group=4,
+    )
+
+    @jax.jit
+    def run_quant(params, dq, prompt):
+        T0 = prompt.shape[1]
+        c = create_cache(dcfg, cfg.n_layers, 1)
+        c, lg = engine.prefill_quantized(
+            params, cfg, dcfg, dq, c, prompt, chunk=128)
+
+        def body(carry, i):
+            c, t = carry
+            c, lg = engine.decode_step(params, cfg, dcfg, dq, c, t, T0 + i)
+            return (c, jnp.argmax(lg, -1).astype(jnp.int32)), t
+
+        t0tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        (_, _), toks = jax.lax.scan(body, (c, t0tok), jnp.arange(VL))
+        return toks[:, 0]
+
+    @jax.jit
+    def run_fp16(params, prompt):
+        T0 = prompt.shape[1]
+        fc = baseline_fp16.create_fp16_cache(cfg, T0 + VL + 2, 1)
+        fc, lg = baseline_fp16.prefill(params, cfg, fc, prompt,
+                                       attn_chunk=512)
+
+        def body(carry, i):
+            fc, t = carry
+            fc, lg = baseline_fp16.decode_step(params, cfg, fc, t, T0 + i)
+            return (fc, jnp.argmax(lg, -1).astype(jnp.int32)), t
+
+        t0tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        (_, _), toks = jax.lax.scan(body, (fc, t0tok), jnp.arange(VL))
+        return toks[:, 0]
+
+    results = []
+    for ctx in ctxs:
+        for depth in depths:
+            nq = nf = 0
+            for trial in range(args.trials):
+                ids, answer = build_retrieval_prompt(
+                    ctx, depth / 100.0, seed=ctx + int(depth) * 7 + trial)
+                prompt = jnp.asarray(ids[None], jnp.int32)
+                t0 = time.perf_counter()
+                tq = np.asarray(run_quant(params, dq, prompt))
+                dt_q = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                tf = np.asarray(run_fp16(params, prompt))
+                dt_f = time.perf_counter() - t0
+                nq += bool((tq == answer).all())
+                nf += bool((tf == answer).all())
+            row = {
+                "ctx": ctx, "depth": depth, "trials": args.trials,
+                "quant_correct": nq, "fp16_correct": nf,
+                "quant_s": round(dt_q, 1), "fp16_s": round(dt_f, 1),
+            }
+            results.append(row)
+            log(f"ctx={ctx:6d} depth={depth:5.1f} quant {nq}/{args.trials} "
+                f"fp16 {nf}/{args.trials} "
+                f"(quant {dt_q:.1f}s, fp16 {dt_f:.1f}s)")
+            with open(args.out, "w") as fh:
+                json.dump(results, fh, indent=1)
+
+    tot = args.trials * len(results)
+    print(json.dumps({
+        "metric": "retrieval_accuracy",
+        "quant": sum(r["quant_correct"] for r in results) / tot,
+        "fp16": sum(r["fp16_correct"] for r in results) / tot,
+        "cells": len(results), "trials_per_cell": args.trials,
+        "bits": args.bits,
+    }))
+
+
+if __name__ == "__main__":
+    main()

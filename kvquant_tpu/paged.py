@@ -609,7 +609,8 @@ class PagedServer:
 
     def __init__(self, params, cfg, dcfg: DeployConfig, dq, n_pages: int,
                  n_slots: int, max_pages_per_slot: int, seed: int = 0,
-                 admit_mode: str = "chunked", admit_chunk: int = 256):
+                 admit_mode: str = "chunked", admit_chunk: int = 256,
+                 burst: int = 32):
         from . import engine
 
         self.params, self.cfg, self.dcfg, self.dq = params, cfg, dcfg, dq
@@ -617,8 +618,14 @@ class PagedServer:
         self.MP = max_pages_per_slot
         self.admit_mode = admit_mode
         self.admit_chunk = admit_chunk
+        self.burst = burst  # max device-side scanned steps per host round
+        #   trip (0 disables). One dispatch costs ~66 ms through the remote
+        #   tunnel (and ~ms even directly attached) vs single-digit ms of
+        #   step compute — run() amortizes it by scanning up to ``burst``
+        #   greedy decode steps on device whenever no admission is pending.
         self.admitting = []
         self._chunk_fns = {}  # tmp cache_tokens -> jitted prefill_chunk
+        self._burst_fns = {}  # H -> jitted H-step scanned decode
         assert admit_chunk % 128 == 0
         self.pool = create_paged_pool(dcfg, cfg.n_layers, n_pages, n_slots)
         self.free = list(range(n_pages))
@@ -785,6 +792,78 @@ class PagedServer:
         else:
             self._admit_sync()
 
+    # -- device-side decode bursts --------------------------------------
+    def _burst_fn(self, H: int):
+        """Jitted H-step scanned decode: greedy sampling ON DEVICE, one
+        host round trip for H tokens per slot. The page table and active
+        mask are fixed for the whole burst (run() only bursts when no
+        admission is pending), so retirements/admissions happen at burst
+        boundaries. H is restricted to powers of two to bound compiles."""
+        if H not in self._burst_fns:
+            def burst(params, dq, pool, table, tok, pos, act):
+                def body(carry, _):
+                    pool, tok, pos = carry
+                    pool, logits = paged_decode_step(
+                        params, self.cfg, self.dcfg, dq,
+                        pool, table, tok, pos, act,
+                    )
+                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    return (
+                        pool,
+                        jnp.where(act, nxt, tok),
+                        jnp.where(act, pos + 1, pos),
+                    ), tok  # emit the token APPENDED this step
+                (pool, tok, pos), toks = jax.lax.scan(
+                    body, (pool, tok, pos), None, length=H
+                )
+                return pool, tok, pos, toks
+            self._burst_fns[H] = jax.jit(burst, donate_argnums=(2,))
+        return self._burst_fns[H]
+
+    def _step_burst(self):
+        """Run one burst: H = largest power of two <= min remaining budget
+        over active slots (so no slot overshoots its reserved pages),
+        capped at ``self.burst``. Falls back to a single hosted step when
+        H < 2 or any active request needs temperature sampling (host RNG).
+        EOS inside a burst wastes the slot's tail steps (junk appends land
+        in the slot's own reserved pages; the next occupant's admission
+        overwrites them page-granularly) — the tokens are discarded here
+        and the slot retires exactly as in step()."""
+        act_idx = [b for b in range(self.n_slots) if self.active[b]]
+        rem = min(
+            self.slot_req[b].max_new_tokens
+            - len(self.completions[self.slot_req[b].rid].tokens)
+            for b in act_idx
+        )
+        if rem < 2 or any(
+            self.slot_req[b].temperature != 0.0 for b in act_idx
+        ):
+            return self.step()
+        H = 1
+        while H * 2 <= min(rem, self.burst):
+            H *= 2
+        self.pool, tok, pos, toks = self._burst_fn(H)(
+            self.params, self.dq, self.pool,
+            jnp.asarray(self.table), jnp.asarray(self._last_tok),
+            jnp.asarray(self.pos), jnp.asarray(self.active),
+        )
+        toks = self._np.asarray(toks)  # (H, n_slots)
+        self._last_tok = self._np.asarray(tok).astype(self._np.int32)
+        self.pos = self._np.asarray(pos).astype(self._np.int32)
+        for b in act_idx:
+            req = self.slot_req[b]
+            comp = self.completions[req.rid]
+            done = False
+            for h in range(H):
+                t = int(toks[h, b])
+                comp.tokens.append(t)
+                if req.eos_token_id is not None and t == req.eos_token_id:
+                    done = True
+                    break
+            if done or len(comp.tokens) >= req.max_new_tokens:
+                self._retire(b)
+        return True
+
     def _retire(self, b):
         for pg in self.slot_pages[b]:
             self.free.append(pg)
@@ -832,8 +911,13 @@ class PagedServer:
         for r in requests:
             self.submit(r)
         steps = 0
-        while self.step():
-            steps += 1
-            if steps >= max_steps:
+        while steps < max_steps:
+            if self.burst > 1 and self.active.any() and not self.queue \
+                    and not self.admitting:
+                alive = self._step_burst()
+            else:
+                alive = self.step()
+            if not alive:
                 break
+            steps += 1
         return self.completions

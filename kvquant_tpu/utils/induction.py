@@ -1,0 +1,245 @@
+"""Induction-retrieval language + trained checkpoint: REAL long-context
+retrieval measurement without egress.
+
+The reference's needle/passkey evals score retrieval with a pretrained
+long-context LLM (lwm/eval_haystack_pytorch_quant.py,
+quant/eval_passkey_simquant.py). Zero egress means no such checkpoint here,
+and the bigram toy (utils/toymodel.py) has no retrieval ability at all —
+its needle numbers can only measure fp16 PARITY. This module closes that
+gap: a synthetic key-value retrieval language whose solution REQUIRES a
+long-range induction circuit, and a small LLaMA trained on it in minutes,
+so the needle grid measures genuine retrieval ACCURACY through the
+quantized cache (and its delta vs the fp16 cache) at 16K-64K contexts.
+
+Language: sequences over a 500-token haystack alphabet with N_NEEDLES
+planted needles ``[key, v1, v2]`` — keys drawn WITHOUT replacement from a
+dedicated 10-token key alphabet (disjoint from the haystack, so matching
+is by key IDENTITY and haystack collisions are impossible) — and a query
+suffix ``[QUERY, key] -> v1 v2`` naming ONE of them. The distractor
+needles force content-based key matching (attending to "any key token" or
+"the marker" is insufficient): the classic 1-token induction circuit,
+learnable by a small model in minutes.
+
+Length generalization via POSITION JUMPS: training computes only T=512
+tokens, but a random gap of up to ~128K positions is inserted between the
+needle region and the query block (``forward(..., positions=...)`` — RoPE
+attention depends only on RELATIVE rotation, so this trains the retrieval
+circuit at exactly the long distances the 64K eval exercises while paying
+512 tokens of compute). Loss is masked to the answer tokens: the haystack
+is uniform noise and carries no trainable signal.
+
+Training runs as segmented on-device ``lax.scan`` (data generated in-scan
+from PRNG keys — no host round trips; segments stay under the multi-minute
+single-dispatch limit noted in NOTES_ROUND2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import ModelConfig, init_params
+from ..models.llama import forward
+
+HAY = 500          # haystack alphabet [0, HAY)
+KEY0, NKEYS = 500, 10  # key alphabet [KEY0, KEY0+NKEYS), disjoint from HAY
+QUERY = 511
+VL = 2             # value token count
+N_NEEDLES = 3      # planted needles (distinct keys; one is queried)
+W = 1 + VL         # planted needle width ([key, values])
+QW = 1 + 1 + VL    # query block width ([QUERY, key, values])
+
+IND_CFG = ModelConfig(
+    vocab_size=512, d_model=256, n_layers=4, n_heads=8, n_kv_heads=4,
+    d_head=32, d_ff=512, max_seq_len=131072 + 512,
+)
+
+CKPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "artifacts", "induction_model.npz",
+)
+
+
+def sample_batch(key, batch: int, T: int, max_jump: int):
+    """One training batch, pure JAX (callable inside a device-side scan).
+
+    Returns (tokens (B, T) int32, positions (B, T) int32, loss_mask (B, T)
+    bool — True on the answer tokens of the query block only)."""
+    ks = jax.random.split(key, 6)
+    toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
+    # distinct keys per sequence: first N_NEEDLES of a permuted key alphabet
+    keys = KEY0 + jax.vmap(
+        lambda k: jax.random.permutation(k, NKEYS)[:N_NEEDLES]
+    )(jax.random.split(ks[1], batch))  # (B, N)
+    vals = jax.random.randint(ks[2], (batch, N_NEEDLES, VL), 0, HAY)
+
+    region = T - QW                      # needles live in [0, region)
+    slice_len = region // N_NEEDLES      # disjoint slice per needle
+    offs = jax.random.randint(ks[3], (batch, N_NEEDLES), 0, slice_len - W)
+    starts = offs + slice_len * jnp.arange(N_NEEDLES)[None, :]
+
+    idx = jnp.arange(T)
+    for n in range(N_NEEDLES):
+        pattern = jnp.concatenate(
+            [keys[:, n:n + 1], vals[:, n]], axis=1
+        )  # (B, W)
+        rel = idx[None, :] - starts[:, n:n + 1]
+        inside = (rel >= 0) & (rel < W)
+        gathered = jnp.take_along_axis(pattern, jnp.clip(rel, 0, W - 1), 1)
+        toks = jnp.where(inside, gathered, toks)
+
+    qi = jax.random.randint(ks[4], (batch,), 0, N_NEEDLES)
+    qk = jnp.take_along_axis(keys, qi[:, None], axis=1)
+    qv = jnp.take_along_axis(vals, qi[:, None, None], axis=1)[:, 0]
+    qblock = jnp.concatenate(
+        [jnp.full((batch, 1), QUERY), qk, qv], axis=1
+    )  # (B, QW)
+    toks = jnp.concatenate([toks[:, :region], qblock], axis=1)
+
+    jump = jax.random.randint(ks[5], (batch, 1), 0, max_jump)
+    positions = idx[None, :] + jnp.where(idx[None, :] >= region, jump, 0)
+
+    loss_mask = (idx[None, :] >= region + 2) & (
+        idx[None, :] < region + 2 + VL
+    )
+    loss_mask = jnp.broadcast_to(loss_mask, (batch, T))
+    return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
+
+
+def sample_repeat_batch(key, batch: int, T: int, max_jump: int):
+    """Repeated-segment sequences: ``[segment (T/2) | jump | segment]``.
+
+    The canonical induction trainer — the whole second half is predictable
+    by suffix-match-and-copy, giving ~T/2 supervised tokens per sequence
+    (the needle format alone gives 2, which measured as NO circuit
+    formation in 2000 steps at any T: nothing pressures the precursor
+    previous-token heads into existence). The position jump between the
+    halves trains the copy attention at long relative distances. Loss mask
+    covers the second half except its first token (seg[0] is not
+    predictable — nothing marks the repetition start)."""
+    ks = jax.random.split(key, 2)
+    R = T // 2
+    seg = jax.random.randint(ks[0], (batch, R), 0, HAY)
+    toks = jnp.concatenate([seg, seg], axis=1)
+    idx = jnp.arange(T)
+    jump = jax.random.randint(ks[1], (batch, 1), 0, max_jump)
+    positions = idx[None, :] + jnp.where(idx[None, :] >= R, jump, 0)
+    loss_mask = jnp.broadcast_to(idx[None, :] >= R + 1, (batch, T))
+    return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
+
+
+def sample_mixed_batch(key, batch: int, T: int, max_jump: int):
+    """Half repeated-segment (dense copy signal — forms the induction
+    circuit), half needle-query (aligns the QUERY/key token embeddings
+    with the eval format). Batch-axis concat of the two samplers."""
+    k1, k2 = jax.random.split(key)
+    h = batch // 2
+    tr, pr, mr = sample_repeat_batch(k1, h, T, max_jump)
+    tn, pn, mn = sample_batch(k2, batch - h, T, max_jump)
+    return (
+        jnp.concatenate([tr, tn], 0),
+        jnp.concatenate([pr, pn], 0),
+        jnp.concatenate([mr, mn], 0),
+    )
+
+
+def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
+    """Cross-entropy on masked label positions only (the haystack is
+    uniform noise — training on it would only burn capacity)."""
+    logits, _ = forward(params, cfg, toks, positions=positions)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = toks[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    m = mask[:, 1:].astype(jnp.float32)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def train_induction_model(
+    cfg: ModelConfig = IND_CFG,
+    steps: int = 3000,
+    batch: int = 32,
+    seq_len: int = 512,
+    max_jump: int = 131072,
+    lr: float = 1e-3,
+    seed: int = 0,
+    segment: int = 250,
+    log=print,
+):
+    """Train the retrieval checkpoint. Device-side scan in ``segment``-step
+    chunks (single multi-minute dispatches can kill the remote worker —
+    NOTES_ROUND2). Returns (params, final masked loss)."""
+    import optax
+
+    params = init_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.float32)
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    def one_step(carry, key):
+        params, state = carry
+        toks, pos, mask = sample_mixed_batch(key, batch, seq_len, max_jump)
+        loss, g = jax.value_and_grad(masked_loss)(
+            params, cfg, toks, pos, mask
+        )
+        upd, state = opt.update(g, state)
+        return (optax.apply_updates(params, upd), state), loss
+
+    @jax.jit
+    def run_segment(params, state, key0):
+        keys = jax.random.split(key0, segment)
+        (params, state), losses = jax.lax.scan(
+            one_step, (params, state), keys
+        )
+        return params, state, losses
+
+    loss = float("nan")
+    for s in range(-(-steps // segment)):
+        params, state, losses = run_segment(
+            params, state, jax.random.PRNGKey(1000 + s)
+        )
+        loss = float(losses[-10:].mean())
+        log(f"[induction] step {(s + 1) * segment}: masked loss {loss:.4f}")
+    return params, loss
+
+
+def cached_induction_model(path: str = CKPT, log=print):
+    """Load (or train + save) the retrieval checkpoint."""
+    from .toymodel import load_toy_checkpoint, save_toy_checkpoint
+
+    if os.path.exists(path):
+        params, loss, _ = load_toy_checkpoint(path)
+        return params, loss
+    params, loss = train_induction_model(log=log)
+    save_toy_checkpoint(path, params, loss, seed=0)
+    return params, loss
+
+
+# ---------------------------------------------------------------------------
+# evaluation prompts
+# ---------------------------------------------------------------------------
+
+
+def build_retrieval_prompt(ctx: int, depth: float, seed: int):
+    """A ctx-token haystack with the QUERIED needle at ``depth`` in [0, 1]
+    and N_NEEDLES-1 distractors at other depths, ending in the query block
+    [QUERY, key]. Returns (ids (ctx,) int32, answer (VL,) int32): the
+    model must emit the VL value tokens greedily."""
+    r = np.random.default_rng(seed)
+    ids = r.integers(0, HAY, size=ctx).astype(np.int32)
+    keys = KEY0 + r.permutation(NKEYS)[:N_NEEDLES]
+    vals = r.integers(0, HAY, size=(N_NEEDLES, VL))
+
+    region = ctx - 2  # prompt ends after [QUERY, key]
+    starts = [int(depth * (region - W))]
+    while len(starts) < N_NEEDLES:
+        s = int(r.integers(0, region - W))
+        if all(abs(s - t) >= W for t in starts):
+            starts.append(s)
+    for n, s in enumerate(starts):
+        ids[s] = keys[n]
+        ids[s + 1:s + W] = vals[n]
+    ids[region] = QUERY
+    ids[region + 1] = keys[0]
+    return ids, vals[0].astype(np.int32)

@@ -1,0 +1,74 @@
+"""Induction-retrieval language (utils/induction.py): structure of the
+training batches and eval prompts. Training/accuracy itself is exercised
+on the chip (benchmarks/retrieval_demo.py) — these tests pin the data
+contract the trained checkpoint depends on."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kvquant_tpu.utils.induction import (
+    HAY, KEY0, NKEYS, N_NEEDLES, QUERY, QW, VL, W,
+    build_retrieval_prompt, sample_batch, sample_mixed_batch,
+    sample_repeat_batch,
+)
+
+
+def test_sample_batch_structure():
+    B, T, MJ = 8, 256, 4096
+    toks, pos, mask = sample_batch(jax.random.PRNGKey(0), B, T, MJ)
+    toks, pos, mask = map(np.asarray, (toks, pos, mask))
+    region = T - QW
+    assert toks.shape == pos.shape == mask.shape == (B, T)
+    # query block: [QUERY, key, v1, v2] with the key/values of a planted
+    # needle (key tokens come from the dedicated disjoint alphabet)
+    assert (toks[:, region] == QUERY).all()
+    qkey = toks[:, region + 1]
+    assert ((qkey >= KEY0) & (qkey < KEY0 + NKEYS)).all()
+    for b in range(B):
+        (where,) = np.nonzero(toks[b, :region] == qkey[b])
+        assert len(where) == 1  # keys are distinct per sequence
+        s = where[0]
+        np.testing.assert_array_equal(
+            toks[b, s + 1:s + W], toks[b, region + 2:region + 2 + VL]
+        )
+    # positions: contiguous, one jump before the query block
+    assert (np.diff(pos, axis=1) >= 1).all()
+    assert (pos[:, region] - region < MJ).all()
+    assert (pos[:, :region] == np.arange(region)).all()
+    # loss mask covers exactly the answer tokens
+    assert (mask.sum(1) == VL).all()
+    assert mask[:, region + 2:region + 2 + VL].all()
+
+
+def test_sample_repeat_batch_structure():
+    B, T = 4, 128
+    toks, pos, mask = sample_repeat_batch(jax.random.PRNGKey(1), B, T, 999)
+    toks, pos, mask = map(np.asarray, (toks, pos, mask))
+    R = T // 2
+    np.testing.assert_array_equal(toks[:, :R], toks[:, R:])
+    assert (toks < HAY).all()
+    assert (mask.sum(1) == R - 1).all()
+    assert (np.diff(pos, axis=1) >= 1).all()
+
+
+def test_sample_mixed_batch_shapes():
+    toks, pos, mask = sample_mixed_batch(jax.random.PRNGKey(2), 6, 64, 10)
+    assert toks.shape == (6, 64)
+    assert toks.dtype == jnp.int32 and pos.dtype == jnp.int32
+
+
+def test_build_retrieval_prompt():
+    for depth in (0.0, 0.5, 1.0):
+        ids, answer = build_retrieval_prompt(2048, depth, seed=3)
+        assert ids.shape == (2048,) and answer.shape == (VL,)
+        assert ids[-2] == QUERY
+        key = ids[-1]
+        assert KEY0 <= key < KEY0 + NKEYS
+        (where,) = np.nonzero(ids[:-2] == key)
+        assert len(where) == 1
+        s = where[0]
+        np.testing.assert_array_equal(ids[s + 1:s + W], answer)
+        # distractor needles carry different keys
+        n_keys = ((ids[:-2] >= KEY0) & (ids[:-2] < KEY0 + NKEYS)).sum()
+        assert n_keys == N_NEEDLES

@@ -170,3 +170,35 @@ def test_paged_server_chunked_admission():
         got = comps[r.rid].tokens
         assert got == list(np.asarray(want[0])), (r.rid, got, np.asarray(want[0]))
     assert sorted(srv.free) == [0, 1, 2, 3]
+
+
+def test_burst_decode_matches_per_step():
+    """Device-side decode bursts (run() scans up to ``burst`` greedy steps
+    per host round trip) must be TOKEN-IDENTICAL to per-step serving,
+    including EOS retirement mid-burst and page reuse afterwards."""
+    cfg = TINY_LLAMA
+    params, dq, dcfg = _setup(cfg)
+
+    def reqs():
+        rng = np.random.default_rng(5)
+        return [
+            Request(rid=i,
+                    prompt=rng.integers(
+                        0, cfg.vocab_size, size=n).astype(np.int32),
+                    max_new_tokens=m, eos_token_id=eos)
+            for i, (n, m, eos) in enumerate(
+                [(30, 12, None), (55, 9, 3), (20, 16, None), (41, 7, 3)])
+        ]
+
+    def run(burst):
+        srv = PagedServer(params, cfg, dcfg, dq, n_pages=4, n_slots=2,
+                          max_pages_per_slot=2, admit_mode="chunked",
+                          admit_chunk=128, burst=burst)
+        comps = srv.run(reqs(), max_steps=300)
+        assert sorted(srv.free) == [0, 1, 2, 3]
+        return comps
+
+    per_step = run(0)
+    bursty = run(8)
+    for rid in per_step:
+        assert bursty[rid].tokens == per_step[rid].tokens, rid
