@@ -128,21 +128,32 @@ def main():
         return toks[:, 0]
 
     results = []
+    warmed = set()
     for ctx in ctxs:
         for depth in depths:
             nq = nf = 0
+            sum_q = sum_f = 0.0
             for trial in range(args.trials):
                 ids, answer = build_retrieval_prompt(
                     ctx, depth / 100.0, seed=ctx + int(depth) * 7 + trial)
                 prompt = jnp.asarray(ids[None], jnp.int32)
+                if ctx not in warmed:
+                    # one untimed call per prompt shape so the first timed
+                    # cell doesn't carry JIT compilation
+                    log(f"warm-up compile for ctx={ctx} ...")
+                    np.asarray(run_quant(params, dq, prompt))
+                    np.asarray(run_fp16(params, prompt))
+                    warmed.add(ctx)
                 t0 = time.perf_counter()
                 tq = np.asarray(run_quant(params, dq, prompt))
-                dt_q = time.perf_counter() - t0
+                sum_q += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 tf = np.asarray(run_fp16(params, prompt))
-                dt_f = time.perf_counter() - t0
+                sum_f += time.perf_counter() - t0
                 nq += bool((tq == answer).all())
                 nf += bool((tf == answer).all())
+            dt_q = sum_q / args.trials
+            dt_f = sum_f / args.trials
             row = {
                 "ctx": ctx, "depth": depth, "trials": args.trials,
                 "quant_correct": nq, "fp16_correct": nf,
@@ -151,7 +162,7 @@ def main():
             results.append(row)
             log(f"ctx={ctx:6d} depth={depth:5.1f} quant {nq}/{args.trials} "
                 f"fp16 {nf}/{args.trials} "
-                f"(quant {dt_q:.1f}s, fp16 {dt_f:.1f}s)")
+                f"(mean/trial: quant {dt_q:.1f}s, fp16 {dt_f:.1f}s)")
             with open(args.out, "w") as fh:
                 json.dump(results, fh, indent=1)
 

@@ -130,8 +130,9 @@ def main():
         print(json.dumps({
             "metric": f"paged_serve_toks_per_s_burst{burst}",
             "value": round(tps, 2), "unit": "tok/s",
+            # null until a burst=0 baseline has been measured in this run
             "vs_baseline": round(tps / baseline_tps, 3) if baseline_tps
-            else 0.0,
+            else None,
             "requests": args.requests, "slots": args.slots,
             "new_tokens_total": total, "wall_s": round(dt, 2),
         }), flush=True)

@@ -820,16 +820,19 @@ class PagedServer:
             self._burst_fns[H] = jax.jit(burst, donate_argnums=(2,))
         return self._burst_fns[H]
 
-    def _step_burst(self):
+    def _step_burst(self) -> int:
         """Run one burst: H = largest power of two <= min remaining budget
         over active slots (so no slot overshoots its reserved pages),
         capped at ``self.burst``. Falls back to a single hosted step when
-        H < 2 or any active request needs temperature sampling (host RNG).
-        EOS inside a burst wastes the slot's tail steps (junk appends land
-        in the slot's own reserved pages; the next occupant's admission
-        overwrites them page-granularly) — the tokens are discarded here
-        and the slot retires exactly as in step()."""
+        no slot is active, H < 2, or any active request needs temperature
+        sampling (host RNG). EOS inside a burst wastes the slot's tail
+        steps (junk appends land in the slot's own reserved pages; the next
+        occupant's admission overwrites them page-granularly) — the tokens
+        are discarded here and the slot retires exactly as in step().
+        Returns the number of decode steps executed (0 when idle)."""
         act_idx = [b for b in range(self.n_slots) if self.active[b]]
+        if not act_idx:
+            return 1 if self.step() else 0
         rem = min(
             self.slot_req[b].max_new_tokens
             - len(self.completions[self.slot_req[b].rid].tokens)
@@ -838,7 +841,7 @@ class PagedServer:
         if rem < 2 or any(
             self.slot_req[b].temperature != 0.0 for b in act_idx
         ):
-            return self.step()
+            return 1 if self.step() else 0
         H = 1
         while H * 2 <= min(rem, self.burst):
             H *= 2
@@ -862,7 +865,7 @@ class PagedServer:
                     break
             if done or len(comp.tokens) >= req.max_new_tokens:
                 self._retire(b)
-        return True
+        return H
 
     def _retire(self, b):
         for pg in self.slot_pages[b]:
@@ -908,16 +911,19 @@ class PagedServer:
         return True
 
     def run(self, requests, max_steps: int = 10_000):
+        """Drive until done or ``max_steps`` decode steps. A burst of H
+        tokens counts as H steps, so max_steps bounds decode WORK, not
+        host round trips."""
         for r in requests:
             self.submit(r)
         steps = 0
         while steps < max_steps:
             if self.burst > 1 and self.active.any() and not self.queue \
                     and not self.admitting:
-                alive = self._step_burst()
+                n = self._step_burst()
             else:
-                alive = self.step()
-            if not alive:
+                n = 1 if self.step() else 0
+            if n == 0:
                 break
-            steps += 1
+            steps += n
         return self.completions
