@@ -63,7 +63,8 @@ def main():
     head_group = int(os.environ.get("BENCH_HEADGROUP", 4))
     dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
     blk = int(os.environ.get("BENCH_BT", 2048))
-    codes = os.environ.get("BENCH_CODES", "int4")  # nuq | int4 | int8
+    codes = os.environ.get("BENCH_CODES", "int4")  # nuq | int4 | int8 |
+    # int4x2 (exact-density 2-bit pair container; set BENCH_BITS=2)
     post_rope = os.environ.get("BENCH_POSTROPE", "1") == "1"
     k_out = os.environ.get("BENCH_KOUT", "channels")  # slots | channels
     n_kc = int(os.environ.get("BENCH_NKC", 4))
@@ -174,7 +175,7 @@ def main():
 
         from functools import partial
 
-        if codes == "int4":
+        if codes in ("int4", "int4x2"):
             # int4 arrays cannot cross the jit boundary through the axon
             # tunnel client (S4 aval serialization recurses) — the cache is
             # created INSIDE the jit (content-independent zeros, same as

@@ -220,6 +220,13 @@ def main(argv=None):
         results["flash_int4_postk_kch_cap0"] = flash_ms(
             mkd(bits=4, codes="int4", post_rope_k=True,
                 k_outliers="channels", cap_per_side=0), dq_int4)
+        # exact-density 2-bit pair container (the 512K-1M speed mode)
+        dq_2 = make_dq(2, affine=True)
+        results["flash_int4x2_postk_kch_cap0"] = flash_ms(
+            mkd(bits=2, codes="int4x2", post_rope_k=True,
+                k_outliers="channels", cap_per_side=0), dq_2)
+        results["flash_int4x2_postk_slots"] = flash_ms(
+            mkd(bits=2, codes="int4x2", post_rope_k=True), dq_2)
 
     if args.pack:
         # bulk prompt packing + one-token append (reference counterparts:

@@ -228,6 +228,68 @@ def main():
     rows["deployed_speed_config_cap0"] = dep
     print(f"deployed speed config cap0 ppl {dep:.4f}")
 
+    # Q-Norm — the reference's 2-bit quality lever (simquant_module_
+    # quantizer.py:533-550; deployed lookup_table2 split at
+    # modeling_llama.py:469-488). The fit rescales the DEC codebook so
+    # post-quant mean/std match pre-quant stats; deployed decode selects
+    # codes with the ENC lut and dequantizes with the DEC lut
+    # (cache.py k_lut_enc/k_lut_dec). Tracked at 2-bit where it matters.
+    qs_qn = fit_quantizers(
+        k_acts, v_acts, bits=2, sparsity_threshold=0.99,
+        cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+        kmeans_iters=10 if args.fast else 30,
+        fisher_k=fisher_k, fisher_v=fisher_v, qnorm=True,
+    )
+    sq = simquant_from_quantizers(
+        qs_qn, v_mode="topk", n_kv_heads=cfg.n_kv_heads
+    )
+    ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+    rows["nuq2_qnorm"] = ppl
+    print(f"nuq2-qnorm ppl {ppl:.4f}  (delta {ppl - ppl_fp16:+.4f}, "
+          f"vs plain nuq2 {ppl - rows['nuq2']:+.4f})")
+    dcfg = DeployConfig.create(
+        bits=2, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+        max_len=261, sink=5, head_group=4, kernel="flash",
+    )
+    dq = deployed_from_quantizers(qs_qn, cfg.n_kv_heads, cfg.d_head)
+    dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+    rows["deployed_nuq2_qnorm"] = dep
+    print(f"deployed nuq2-qnorm (enc/dec LUT split, flash) ppl {dep:.4f}")
+
+    # 2-bit SPEED config: uniform2 on roped activations + static-channel K
+    # outliers + no V slots, deployed through the exact-density int4x2
+    # pair container (the storage mode behind 512K-1M decode at usable
+    # speed). With and without Q-Norm — an affine codebook stays affine
+    # under the Q-Norm rescale, so the lever composes with the container.
+    for use_qn in (False, True):
+        qs2 = fit_quantizers(
+            k_acts_r, v_acts_r, bits=2, sparsity_threshold=0.99,
+            cap_outliers=True, first_few_fp16=5, sample_seqlen=256,
+            kmeans_iters=10 if args.fast else 30, mode="uniform",
+            qnorm=use_qn,
+        )
+        qs2.meta["post_rope_k"] = True
+        tag = "speed2_qnorm" if use_qn else "speed2_config"
+        sq = simquant_from_quantizers(
+            qs2, v_mode="topk", n_kv_heads=cfg.n_kv_heads, head_group=4,
+            k_outliers="channels", cap_per_side=0,
+        )
+        ppl = perplexity(params, cfg, eval_toks, simquant=sq)
+        rows[tag] = ppl
+        print(f"{tag} (uniform2+postrope+kch+cap0) ppl {ppl:.4f}  "
+              f"(delta {ppl - ppl_fp16:+.4f})")
+        dcfg = DeployConfig.create(
+            bits=2, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
+            max_len=261, sink=5, head_group=4, codes="int4x2",
+            post_rope_k=True, k_outliers="channels", kernel="flash",
+            cap_per_side=0,
+        )
+        dq = deployed_from_quantizers(qs2, cfg.n_kv_heads, cfg.d_head)
+        dep = engine.deployed_ppl(params, cfg, dcfg, dq, eval_toks[:2])
+        rows[f"deployed_{tag}"] = dep
+        print(f"deployed {tag} (int4x2 pair container, flash) "
+              f"ppl {dep:.4f}")
+
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
 
 

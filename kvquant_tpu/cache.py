@@ -75,6 +75,19 @@ class DeployConfig:
     #            VPU-bound 0.4x and beating the fp16 baseline. bits <= 4.
     #   "int8" — same affine path in an int8 container (bits <= 8); robust
     #            fallback where int4 tiling is unsupported, 2x compression.
+    #   "int4x2" — EXACT-density 2-bit storage: TWO 2-bit codes per int4
+    #            element via HEAD PAIRING (kv heads 2j, 2j+1 share one
+    #            (Tc, D) int4 array; stored value = c_even + 4*c_odd - 8).
+    #            Affine codebook only. The flash kernel unpacks a pair
+    #            with one convert + one fma + one floor, and the even
+    #            head's codes are never materialized (its score/output
+    #            dots distribute over x - 4*c_odd on the MXU) — ~1.5 VPU
+    #            ops per element vs ~12 for the 2-bit mux tree. This is
+    #            what makes 512K-1M contexts decode at usable speed on one
+    #            chip (the reference's flagship 2-bit claim, README.md:12)
+    #            while fitting the 2-bit memory budget. Requires bits == 2
+    #            and an even n_kv_heads (the flash kernel also needs an
+    #            even head_group).
     page_tokens: int = 1024  # paged-pool page size (kvquant_tpu.paged):
     #   tokens per page == the flash kernel's token block when paging.
     #   Multiple of 256; 1024 is the measured VMEM sweet spot on v5e.
@@ -106,22 +119,32 @@ class DeployConfig:
     #   quantizer artifact should carry meta["post_rope_k"]=True.
 
     def __post_init__(self):
-        assert self.codes in ("nuq", "int4", "int8"), self.codes
+        assert self.codes in ("nuq", "int4", "int8", "int4x2"), self.codes
         assert self.k_outliers in ("slots", "channels"), self.k_outliers
         if self.codes == "int4":
             assert self.bits <= 4, "int4 container holds <= 4-bit codes"
         if self.codes == "int8":
             assert self.bits <= 8
+        if self.codes == "int4x2":
+            assert self.bits == 2, "int4x2 packs exactly two 2-bit codes"
+            assert self.n_kv_heads % 2 == 0, "int4x2 pairs adjacent kv heads"
 
     @property
     def code_dtype(self):
         import jax.numpy as _jnp
 
-        return {"int4": _jnp.int4, "int8": _jnp.int8}[self.codes]
+        return {
+            "int4": _jnp.int4, "int8": _jnp.int8, "int4x2": _jnp.int4,
+        }[self.codes]
 
     @property
     def code_bias(self) -> int:
-        """Stored code = unsigned code - bias (signed container range)."""
+        """Offset between the code the dequant kernels see and the unsigned
+        codebook index. int4/int8 store signed (code - 2**(bits-1)); int4x2
+        unpacks straight back to unsigned codes (the -8 container bias is
+        handled inside the pair encoding), so its bias is 0."""
+        if self.codes == "int4x2":
+            return 0
         return 1 << (self.bits - 1)
 
     @property
@@ -232,8 +255,11 @@ def create_cache(dcfg: DeployConfig, n_layers: int, batch: int) -> KVCache:
     if dcfg.codes != "nuq":
         # hardware intN storage: codes live at (token, dim) directly —
         # long token axis on sublanes, head_dim (one full lane tile) on
-        # lanes; dequant in the kernels is a single convert + fma
-        code_shape = (L, B, H, Tc, D)
+        # lanes; dequant in the kernels is a single convert + fma.
+        # int4x2 halves the head axis: adjacent kv-head pairs share one
+        # int4 array (two 2-bit codes per element).
+        Hc = H // 2 if dcfg.codes == "int4x2" else H
+        code_shape = (L, B, Hc, Tc, D)
         return KVCache(
             k_planes=z(code_shape, dcfg.code_dtype),
             v_planes=z(code_shape, dcfg.code_dtype),
@@ -265,7 +291,9 @@ def cache_bytes(dcfg: DeployConfig, n_layers: int, batch: int) -> dict:
     """Memory accounting for the quantized cache vs an fp16 baseline."""
     C = dcfg.kv_hidden
     Tc = dcfg.cache_tokens
-    stored_bits = {"nuq": dcfg.bits, "int4": 4, "int8": 8}[dcfg.codes]
+    stored_bits = {
+        "nuq": dcfg.bits, "int4": 4, "int8": 8, "int4x2": 2,
+    }[dcfg.codes]
     packed = 2 * n_layers * batch * C * stored_bits * Tc // 8
     outliers = n_layers * batch * dcfg.n_groups * Tc * dcfg.n_slots * 4
     vlut = 2 * n_layers * batch * Tc * 4

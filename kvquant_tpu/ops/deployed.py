@@ -41,8 +41,9 @@ from ..models.llama import rope_cos_sin, rotate_half
 from ..quant.nuq import nearest_codes, lut_lookup
 from .packing import (
     pack_codes, unpack_codes, set_token_codes,
-    store_codes_int, load_codes_int, set_token_codes_int,
-    set_token_codes_int_at_layer, place_codes_int,
+    store_codes_int, load_codes_int, place_codes_int,
+    pair_codes_int4x2, unpair_codes_int4x2, place_codes_int4x2,
+    set_token_rows, set_token_rows_at_layer,
     encode_outlier_words, decode_outlier_words,
 )
 
@@ -51,7 +52,26 @@ def _stored_codes(planes, dcfg: DeployConfig):
     """Packed storage -> unsigned int32 codes (B, Hkv, Tc, D)."""
     if dcfg.codes == "nuq":
         return unpack_codes(planes, dcfg.bits)
+    if dcfg.codes == "int4x2":
+        return unpair_codes_int4x2(planes)
     return load_codes_int(planes, dcfg.bits)
+
+
+def _encode_rows(codes, dcfg: DeployConfig):
+    """Unsigned codes (..., Hkv, D) -> container token rows (..., H', D)
+    for the non-"nuq" storage modes (H' = Hkv//2 under int4x2 head
+    pairing, Hkv otherwise)."""
+    if dcfg.codes == "int4x2":
+        return pair_codes_int4x2(codes)
+    return store_codes_int(codes, dcfg.bits, dcfg.code_dtype)
+
+
+def _place_codes(arr, codes, p0, dcfg: DeployConfig):
+    """Aligned block write of unsigned codes (..., T, Hkv, D) into a
+    non-"nuq" container array (..., H', Tc, D)."""
+    if dcfg.codes == "int4x2":
+        return place_codes_int4x2(arr, codes, p0)
+    return place_codes_int(arr, codes, p0, dcfg.bits)
 
 
 def rotate_half_axis(x, axis):
@@ -330,9 +350,9 @@ def decode_attention(
     def _append(planes, codes):
         if dcfg.codes == "nuq":
             return jax.vmap(set_token_codes)(planes, codes, p, not_sink)
-        return jax.vmap(
-            lambda a, c, pp, pr: set_token_codes_int(a, c, pp, dcfg.bits, pr)
-        )(planes, codes, p, not_sink)
+        return jax.vmap(set_token_rows)(
+            planes, _encode_rows(codes, dcfg), p, not_sink
+        )
 
     k_planes = _append(cache_l.k_planes, codes_k)
     if dcfg.include_sparse:
@@ -488,9 +508,8 @@ def append_token_flash(
                 return set_token_codes_at_layer_uniform(
                     planes, codes, li, p0, pred
                 )
-            new = store_codes_int(
-                codes[None, :, :, None, :], dcfg.bits, planes.dtype
-            )  # (1, B, Hkv, 1, D)
+            new = _encode_rows(codes, dcfg)[None, :, :, None, :]
+            # (1, B, H', 1, D)
             return rmw(planes, new, (li, 0, 0, p0, 0), pred)
 
         out = dict(arrs)
@@ -536,8 +555,9 @@ def append_token_flash(
                 pl_b, c_b, li, p_b, pr_b
             )
         else:
-            write = lambda pl_b, c_b, p_b, pr_b: set_token_codes_int_at_layer(
-                pl_b, c_b, li, p_b, dcfg.bits, pr_b
+            codes = _encode_rows(codes, dcfg)
+            write = lambda pl_b, c_b, p_b, pr_b: set_token_rows_at_layer(
+                pl_b, c_b, li, p_b, pr_b
             )
         return jax.vmap(write, in_axes=(1, 0, 0, 0), out_axes=1)(
             planes, codes, p, not_sink
@@ -644,7 +664,7 @@ def prefill_pack(
 
     def place(planes, codes):
         if dcfg.codes != "nuq":
-            return place_codes_int(planes, codes, 0, dcfg.bits)
+            return _place_codes(planes, codes, 0, dcfg)
         # codes (B, Tp, Hkv, D) -> planes word rows [0 : Tpad/32)
         c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tp,D)
         c = jnp.pad(c, ((0, 0),) * 2 + ((0, Tpad - Tp), (0, 0)))
@@ -750,7 +770,7 @@ def block_attention(
 
     def place(planes, codes):
         if dcfg.codes != "nuq":
-            return place_codes_int(planes, codes, p0, dcfg.bits)
+            return _place_codes(planes, codes, p0, dcfg)
         c = codes.transpose(0, 2, 1, 3)  # (B,Hkv,Tq,D)
         words = pack_codes(c, dcfg.bits)  # (B,Hkv,bits,Tq/32,D)
         return jax.lax.dynamic_update_slice(

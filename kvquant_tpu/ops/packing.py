@@ -222,6 +222,74 @@ def place_codes_int(arr, codes, p0, bits: int):
 
 
 # ---------------------------------------------------------------------------
+# int4x2: exact-density 2-bit codes, TWO per int4 element via HEAD PAIRING
+#
+# Adjacent kv heads (2j, 2j+1) share one (Tc, D) int4 array; element value
+# s = c_even + 4*c_odd - 8 (c unsigned in [0, 4), s in the int4 range
+# [-8, 7]). Both digits of an element are produced by the SAME token append
+# (a token carries codes for every head), so writes never read-modify-write
+# across appends. The flash kernel unpacks a pair with one convert + one
+# fma + one floor; the even head's codes are never materialized — its
+# score/output contractions distribute over x - 4*c_odd on the MXU
+# (ops/pallas/flash_decode.py). This is the storage mode that makes the
+# reference's flagship 2-bit claim (1M context on one device at usable
+# speed, README.md:12) hold on TPU: 2-bit memory density with intN-class
+# dequant cost instead of the ~12-VPU-op bit-plane mux tree.
+# ---------------------------------------------------------------------------
+
+
+def pair_codes_int4x2(codes):
+    """Unsigned 2-bit codes (..., H, D) (head axis -2) -> (..., H//2, D)
+    int4 container values c_even + 4*c_odd - 8."""
+    c = codes.astype(jnp.int32)
+    return (c[..., 0::2, :] + 4 * c[..., 1::2, :] - 8).astype(jnp.int4)
+
+
+def unpair_codes_int4x2(arr):
+    """(..., H//2, Tc, D) int4 (head axis -3) -> (..., H, Tc, D) int32
+    unsigned codes, heads re-interleaved."""
+    x = arr.astype(jnp.int32) + 8  # c_even + 4*c_odd in [0, 16)
+    ce = x & 3
+    co = x >> 2
+    st = jnp.stack([ce, co], axis=-3)  # (..., H//2, 2, Tc, D)
+    return st.reshape(*arr.shape[:-3], -1, *arr.shape[-2:])
+
+
+def set_token_rows(arr, rows, pos, pred=None):
+    """Write one token's already-encoded container rows at position ``pos``.
+
+    arr: (..., Tc, D); rows: (..., D) in the container dtype (or castable).
+    Row-level predicated read-modify-write (same contract as
+    set_token_codes_int)."""
+    pos = jnp.clip(pos, 0, arr.shape[-2] - 1)
+    old = jax.lax.dynamic_slice_in_dim(arr, pos, 1, axis=-2)
+    new = rows[..., None, :].astype(arr.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice_in_dim(arr, new, pos, axis=-2)
+
+
+def set_token_rows_at_layer(arr, rows, li, pos, pred=None):
+    """Write one token's encoded rows into layer ``li`` of the FULL stacked
+    array: arr (L, H', Tc, D); rows (H', D); li/pos traced scalars."""
+    L, Hh, Tc, D = arr.shape
+    pos = jnp.clip(pos, 0, Tc - 1)
+    old = jax.lax.dynamic_slice(arr, (li, 0, pos, 0), (1, Hh, 1, D))
+    new = rows[None, :, None, :].astype(arr.dtype)
+    if pred is not None:
+        new = jnp.where(pred, new, old)
+    return jax.lax.dynamic_update_slice(arr, new, (li, 0, pos, 0))
+
+
+def place_codes_int4x2(arr, codes, p0):
+    """Write a whole aligned token block of paired codes: arr
+    (..., H//2, Tc, D) int4, codes (..., T, H, D) int32 unsigned."""
+    c = jnp.moveaxis(pair_codes_int4x2(codes), -3, -2)  # (..., H//2, T, D)
+    start = (0,) * (arr.ndim - 2) + (p0, 0)
+    return jax.lax.dynamic_update_slice(arr, c, start)
+
+
+# ---------------------------------------------------------------------------
 # outlier word encoding
 # ---------------------------------------------------------------------------
 

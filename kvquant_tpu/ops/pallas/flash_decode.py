@@ -282,7 +282,127 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             vsc_eff = vsc_ref[0, 0] * vb
             voff_eff = vsc_ref[0, 0] * va + voff_ref[0, 0]
 
-        for j in range(hg):
+        # ---- int4x2: two 2-bit codes per int4 element, head-paired ----
+        # Pair (2jj, 2jj+1) shares one container tile s = c_e + 4*c_o - 8.
+        # Unpack cost: ONE convert + ONE fma + ONE floor per pair element
+        # (~1.5 VPU ops/logical element, vs ~12 for the 2-bit mux tree).
+        # The EVEN head's codes are never materialized: with
+        # c_e - 8 = s - 4*c_o, its score/output contractions distribute
+        # over the two stored arrays as extra MXU dots (the MXU idles in
+        # this kernel), and the +8 shift folds into the per-head zero
+        # (K: 8*sum(q*step) rides the zq scalar; V: 8*rowsum(ps)).
+        # Dots run with fp32 inputs on purpose — casting x / c_o to bf16
+        # would cost the one VPU op per element the scheme just saved.
+        for jj in (range(hg // 2) if codes == "int4x2" else ()):
+            xk = kp_ref[0, 0, jj].astype(jnp.float32)   # (BT, D) in [-8, 7]
+            ck_o = jnp.floor(xk * 0.25 + 2.0)           # odd head's codes
+            xv = vp_ref[0, 0, jj].astype(jnp.float32)
+            cv_o = jnp.floor(xv * 0.25 + 2.0)
+            dot_s = lambda a, b: jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dot_p = lambda a, b: jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for which in range(2):
+                j = 2 * jj + which
+                h = g * hg + j
+                q = q_ref[0, h]  # (Q, D)
+
+                if post_k:
+                    qs_f = q * krng_ref[0, j]
+                    if which == 0:
+                        zq = jnp.sum(q * koff_ref[0, j] + 8.0 * qs_f,
+                                     axis=1, keepdims=True)
+                        s_blk = dot_s(qs_f, xk) - 4.0 * dot_s(qs_f, ck_o)
+                    else:
+                        zq = jnp.sum(q * koff_ref[0, j], axis=1,
+                                     keepdims=True)
+                        s_blk = dot_s(qs_f, ck_o)
+                    s_blk = s_blk + zq
+                    if k_channels:
+                        qsel = jax.lax.dot_general(
+                            q.astype(ct),
+                            sel[:, j * D:(j + 1) * D].astype(ct),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        s_blk += jax.lax.dot_general(
+                            qsel.astype(ct), Rk.astype(ct),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    elif k_slots:
+                        qe = dot_s(q, Ek)
+                        for s in range(Jk):
+                            s_blk += jnp.where(
+                                kheads[s] == j,
+                                qe[:, s * BT:(s + 1) * BT], 0.0,
+                            )
+                    s_blk = s_blk * inv + mask_ref[...]
+                else:
+                    # pre-RoPE storage: materialize this head's codes (one
+                    # extra fma for the even head), dequant, rotate
+                    ck = (xk - 4.0 * ck_o + 8.0) if which == 0 else ck_o
+                    kd = ck * krng_ref[0, j] + koff_ref[0, j]
+                    if k_channels:
+                        kd += jax.lax.dot_general(
+                            Rk.astype(ct),
+                            sel[:, j * D:(j + 1) * D].astype(ct),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    k_rot = jnp.concatenate(
+                        [-kd[:, half:], kd[:, :half]], axis=1
+                    )
+                    kx = kd * cos + k_rot * sin
+                    s_blk = dot_s(q, kx)
+                    if k_slots:
+                        rotq = jnp.concatenate(
+                            [q[:, half:], -q[:, :half]], axis=1
+                        )
+                        qe = dot_s(q, Ekc) + dot_s(rotq, Eks)
+                        for s in range(Jk):
+                            s_blk += jnp.where(
+                                kheads[s] == j,
+                                qe[:, s * BT:(s + 1) * BT], 0.0,
+                            )
+                    s_blk = s_blk * inv + mask_ref[...]
+
+                # online softmax update
+                m_old = m_ref[h][:, :1]
+                m_new = jnp.maximum(
+                    m_old, jnp.max(s_blk, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.exp(s_blk - m_new)
+                l_new = l_ref[h][:, :1] * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_ref[h] = jnp.broadcast_to(m_new, (Q, 128))
+                l_ref[h] = jnp.broadcast_to(l_new, (Q, 128))
+
+                # V: the pair's container tile contracts directly
+                ps = p * vsc_eff
+                if which == 0:
+                    pv = dot_p(ps, xv) - 4.0 * dot_p(ps, cv_o) + (
+                        8.0 * jnp.sum(ps, axis=-1, keepdims=True)
+                    )
+                else:
+                    pv = dot_p(ps, cv_o)
+                pv = pv + jnp.sum(p * voff_eff, axis=-1, keepdims=True)
+                if v_sparse:
+                    for s in range(Jv):
+                        pv += jax.lax.dot_general(
+                            jnp.where(vheads[s] == j, p, 0.0).astype(ct),
+                            ev[s].astype(ct), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                out_ref[0, h] = out_ref[0, h] * alpha + pv
+
+        for j in (range(hg) if codes != "int4x2" else ()):
             h = g * hg + j
             q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
 
@@ -524,6 +644,15 @@ def flash_attention(
         code_spec = lambda: pl.BlockSpec(
             (1, 1, hg, bits, BT // 32, D),
             imt(lambda li, b, t, g: (li, b, g, 0, t, 0)),
+            memory_space=pltpu.VMEM,
+        )
+    elif dcfg.codes == "int4x2":
+        # head-PAIRED int4 storage: the packed head axis is Hkv//2, one
+        # (BT, D) tile per adjacent-head pair of the group
+        assert hg % 2 == 0, "int4x2 flash kernel pairs heads within a group"
+        code_spec = lambda: pl.BlockSpec(
+            (1, 1, hg // 2, BT, D),
+            imt(lambda li, b, t, g: (li, b, g, t, 0)),
             memory_space=pltpu.VMEM,
         )
     else:
