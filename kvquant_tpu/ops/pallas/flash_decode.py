@@ -24,10 +24,9 @@ Why a single pass (vs ops/pallas/attention.py's qk_fused + pv_fused):
     by every head, instead of per (head, block);
   - sparse outliers apply as SCORE/OUTPUT corrections on the MXU: per-slot
     (BT, D) one-hot value tiles (built once per head group, 2 VPU ops per
-    slot tile) contract against the query / probabilities, so the VPU —
-    the machine's bound at ~2.1 ops per HBM byte — never touches an
-    O(BT x hg*D) densified addend. K outliers commute with RoPE via
-    linearity: q.rope(m) = q.(E*cos) + rot(q).(E*sin);
+    slot tile) contract against the query / probabilities, so the VPU
+    never touches an O(BT x hg*D) densified addend. K outliers commute
+    with RoPE via linearity: q.rope(m) = q.(E*cos) + rot(q).(E*sin);
   - the attention-sink prefix (reference kcache_fp16/vcache_fp16,
     modeling_llama.py:1464-1466) initializes the online-softmax state at
     t == 0 in-kernel — no separate XLA matmuls and no LSE merge outside;
@@ -35,6 +34,30 @@ Why a single pass (vs ops/pallas/attention.py's qk_fused + pv_fused):
     BlockSpec index maps, so the kernel reads blocks straight out of the
     full (L, ...) cache arrays — the caller never slices a layer's cache
     (dynamic_index_in_dim of the packed planes copies ~6 MB/layer/step).
+
+OPERAND-COUNT CLIFF (round-3 finding, measured on v5e): a pallas_call with
+MORE THAN SIX input operands falls off the Mosaic pipeline fast path —
+adding a 7th input (ANY shape or memory space, even one the kernel never
+reads, with a constant index map) took the 512K-per-layer time from
+1.2 ms to 3.8 ms. The kernel therefore takes exactly SIX inputs:
+
+  1. cst  (B, R, D) fp32 VMEM  — per-call constants packed as D-lane rows:
+        rows [0, Hkv*Q)           roped queries, head-major
+        rows [OFF_KR, +Hkv)       per-channel K scale   (k_range row per head)
+        rows [OFF_KO, +Hkv)       per-channel K zero    (k_offset row per head)
+        rows [OFF_KS, +Hkv*S)     post-RoPE sink keys   (head-major)
+        rows [OFF_VS, +Hkv*S)     sink values
+        rows [OFF_SEL, +Hkv*nsel) per-head channel-selection one-hots
+        rows [OFF_LUT, +3)        K dequant LUT / V dequant LUT / [va, vb]
+     (the old per-head (1, hg, 1, D) streams with g-dependent maps also
+     re-issued 1-sublane DMAs on every grid step — both problems die here;
+     an SMEM input stream trips the same cliff, so LUT scalars are VMEM
+     cst rows read as scalars)
+  2. kp   packed K codes   (block-indexed by (li, b, g, t))
+  3. vp   packed V codes
+  4. ow   merged outlier rows (li, b, g, t)
+  5. vsc  (L, B, Tc) per-token V scale rows
+  6. voff (L, B, Tc) per-token V offset rows
 
 The output accumulator lives in the out BLOCK itself (index (b, 0, 0, 0) is
 revisited consecutively for the whole (t, h) sweep of one batch element),
@@ -131,7 +154,7 @@ def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
          per-layer SCALARS and applied in-kernel to the (1, BT) blocks (a
          wrapper-side transform of the full (L, ..., Tc) per-token arrays
          would redo all layers' tokens on every per-layer call).
-    Returns (k_range', k_offset', vab (L, 1, 2) [va, vb])."""
+    Returns (k_range', k_offset', vab (L, 2) [va, vb])."""
     K = 2 ** dcfg.bits
     bias = dcfg.code_bias
     kb = (k_lut[:, -1] - k_lut[:, 0]) / (K - 1)  # (L,)
@@ -141,16 +164,15 @@ def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
     return (
         kb[:, None, None] * k_range,
         ka[:, None, None] * k_range + k_offset,
-        jnp.stack([va, vb], axis=-1)[:, None, :],
+        jnp.stack([va, vb], axis=-1),
     )
 
 
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
                   codes="nuq", post_k=False, n_live=None, k_mode="slots",
-                  n_live_v=None):
-    (q_ref, kp_ref, vp_ref, ow_ref, krng_ref, koff_ref, vsc_ref, voff_ref,
-     ksink_ref, vsink_ref, klut_ref, vlut_ref, vab_ref, ksel_ref,
+                  n_live_v=None, nsel=1):
+    (cst_ref, kp_ref, vp_ref, ow_ref, vsc_ref, voff_ref,
      out_ref, m_ref, l_ref, cs_ref, mask_ref) = refs
     if n_live_v is None:
         n_live_v = n_live
@@ -159,6 +181,42 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     v_sparse = sparse and (n_live_v is None or n_live_v > 0)
     Jk = min(spk, n_live) if k_slots else 0
     Jv = min(J - spk, n_live_v) if v_sparse else 0
+
+    # per-head BAND offsets in cst (B, Hkv, RH, D). Every read below loads
+    # the head's FULL band (cst_ref[0, h] — the whole trailing (RH, D)
+    # slab) and slices rows IN REGISTERS: any sub-tile VMEM row slice of a
+    # flat (R, D) block (static OR traced start) triggered a per-read
+    # relayout measured at ~2.7 ms/layer at 512K; full-band loads with
+    # register slicing measure free.
+    OFF_Q = 0
+    OFF_KR = OFF_Q + Q
+    OFF_KO = OFF_KR + 1
+    OFF_KS = OFF_KO + 1
+    OFF_VS = OFF_KS + S
+    OFF_SEL = OFF_VS + S
+    n_lr = -(-(2 ** bits) // D)  # rows per codebook (d_head can be < K)
+    OFF_LUT = OFF_SEL + nsel
+
+    def band(h):
+        return cst_ref[0, h]  # (RH, D) — one full per-head band
+
+    def c_q(h):
+        return band(h)[OFF_Q:OFF_Q + Q]  # (Q, D)
+
+    def c_krng(h):
+        return band(h)[OFF_KR:OFF_KR + 1]  # (1, D)
+
+    def c_koff(h):
+        return band(h)[OFF_KO:OFF_KO + 1]
+
+    def c_ksink(h):
+        return band(h)[OFF_KS:OFF_KS + S]  # (S, D)
+
+    def c_vsink(h):
+        return band(h)[OFF_VS:OFF_VS + S]
+
+    def c_sel(h):
+        return band(h)[OFF_SEL:OFF_SEL + nsel]  # (nsel, D)
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -206,9 +264,9 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     def _():
         for j in range(hg):
             h = g * hg + j
-            q = q_ref[0, h]  # (Q, D)
+            q = c_q(h)  # (Q, D)
             if S > 0:
-                ks = ksink_ref[0, 0, j]  # (S, D) post-RoPE keys
+                ks = c_ksink(h)  # (S, D) post-RoPE keys
                 ss = jax.lax.dot_general(
                     q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -226,7 +284,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 p0 = jnp.where(svalid, p0, 0.0)
                 l0 = jnp.sum(p0, axis=-1, keepdims=True)
                 acc0 = jax.lax.dot_general(
-                    p0.astype(ct), vsink_ref[0, 0, j].astype(ct),
+                    p0.astype(ct), c_vsink(h).astype(ct),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (Q, D)
@@ -244,13 +302,31 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         if not post_k:
             cos = cs_ref[0]
             sin = cs_ref[1]
+        if codes == "nuq":
+            bd0 = band(0)
+            klut = [bd0[OFF_LUT + i // D, i % D]
+                    for i in range(2 ** bits)]
+            vlut = [bd0[OFF_LUT + n_lr + i // D, i % D]
+                    for i in range(2 ** bits)]
+            vsc_eff = vsc_ref[0, 0]   # (1, BT) per-token V scale/offset
+            voff_eff = voff_ref[0, 0]
+        else:
+            # apply the affine-codebook fold to THIS block's per-token V
+            # range scalars (va, vb ride in as per-layer SMEM scalars —
+            # a wrapper-side transform of the full (L, ..., Tc) per-token
+            # arrays would redo all layers' tokens on every per-layer call)
+            bd0 = band(0)
+            va = bd0[OFF_LUT + 2 * n_lr, 0]
+            vb = bd0[OFF_LUT + 2 * n_lr, 1]
+            vsc_eff = vsc_ref[0, 0] * vb
+            voff_eff = vsc_ref[0, 0] * va + voff_ref[0, 0]
+
         # group outlier tiles built ONCE for all hg heads of this step
         if k_channels:
             # static-channel K residuals: NO densification — the rows are
             # plain residual values applied via small MXU contractions
-            # against the per-layer one-hot selection matrix
+            # against the per-head one-hot selection rows (c_sel)
             Rk = ow_ref[0, 0, 0, :spk]   # (n_kc, BT)
-            sel = ksel_ref[0, 0]         # (n_kc, hg*D)
         elif k_slots:
             ek, kheads = _outlier_e_slots(ow_ref[0, 0, 0, :spk], D, BT, Jk)
             # sublane-axis concat legalizes on Mosaic (lane-axis doesn't) —
@@ -267,20 +343,6 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 Eks = jnp.concatenate(eks, axis=0) if Jk > 1 else eks[0]
         if v_sparse:
             ev, vheads = _outlier_e_slots(ow_ref[0, 0, 0, spk:], D, BT, Jv)
-        if codes == "nuq":
-            klut = [klut_ref[0, 0, i] for i in range(2 ** bits)]
-            vlut = [vlut_ref[0, 0, i] for i in range(2 ** bits)]
-            vsc_eff = vsc_ref[0, 0]   # (1, BT) per-token V scale/offset
-            voff_eff = voff_ref[0, 0]
-        else:
-            # apply the affine-codebook fold to THIS block's per-token V
-            # range scalars (va, vb ride in as per-layer SMEM scalars —
-            # transforming the full (L, ..., Tc) arrays wrapper-side would
-            # redo every layer's tokens on each per-layer call)
-            va = vab_ref[0, 0, 0]
-            vb = vab_ref[0, 0, 1]
-            vsc_eff = vsc_ref[0, 0] * vb
-            voff_eff = vsc_ref[0, 0] * va + voff_ref[0, 0]
 
         # ---- int4x2: two 2-bit codes per int4 element, head-paired ----
         # Pair (2jj, 2jj+1) shares one container tile s = c_e + 4*c_o - 8.
@@ -291,41 +353,42 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         # over the two stored arrays as extra MXU dots (the MXU idles in
         # this kernel), and the +8 shift folds into the per-head zero
         # (K: 8*sum(q*step) rides the zq scalar; V: 8*rowsum(ps)).
-        # Dots run with fp32 inputs on purpose — casting x / c_o to bf16
-        # would cost the one VPU op per element the scheme just saved.
+        # Under dot_bf16 the pair tiles are cast ONCE and reused by all
+        # the pair's dots; the unpack arithmetic stays f32 (exact floor).
         for jj in (range(hg // 2) if codes == "int4x2" else ()):
             xk = kp_ref[0, 0, jj].astype(jnp.float32)   # (BT, D) in [-8, 7]
             ck_o = jnp.floor(xk * 0.25 + 2.0)           # odd head's codes
             xv = vp_ref[0, 0, jj].astype(jnp.float32)
             cv_o = jnp.floor(xv * 0.25 + 2.0)
+            xk_d, ck_o_d = xk.astype(ct), ck_o.astype(ct)
+            xv_d, cv_o_d = xv.astype(ct), cv_o.astype(ct)
             dot_s = lambda a, b: jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
+                a.astype(ct), b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dot_p = lambda a, b: jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
+                a.astype(ct), b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for which in range(2):
                 j = 2 * jj + which
                 h = g * hg + j
-                q = q_ref[0, h]  # (Q, D)
+                q = c_q(h)  # (Q, D)
 
                 if post_k:
-                    qs_f = q * krng_ref[0, j]
+                    qs_f = q * c_krng(h)
                     if which == 0:
-                        zq = jnp.sum(q * koff_ref[0, j] + 8.0 * qs_f,
+                        zq = jnp.sum(q * c_koff(h) + 8.0 * qs_f,
                                      axis=1, keepdims=True)
-                        s_blk = dot_s(qs_f, xk) - 4.0 * dot_s(qs_f, ck_o)
+                        s_blk = dot_s(qs_f, xk_d) - 4.0 * dot_s(qs_f, ck_o_d)
                     else:
-                        zq = jnp.sum(q * koff_ref[0, j], axis=1,
+                        zq = jnp.sum(q * c_koff(h), axis=1,
                                      keepdims=True)
-                        s_blk = dot_s(qs_f, ck_o)
+                        s_blk = dot_s(qs_f, ck_o_d)
                     s_blk = s_blk + zq
                     if k_channels:
                         qsel = jax.lax.dot_general(
-                            q.astype(ct),
-                            sel[:, j * D:(j + 1) * D].astype(ct),
+                            q.astype(ct), c_sel(h).astype(ct),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
@@ -335,7 +398,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                             preferred_element_type=jnp.float32,
                         )
                     elif k_slots:
-                        qe = dot_s(q, Ek)
+                        qe = dot_s(q, Ek.astype(ct))
                         for s in range(Jk):
                             s_blk += jnp.where(
                                 kheads[s] == j,
@@ -346,11 +409,10 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                     # pre-RoPE storage: materialize this head's codes (one
                     # extra fma for the even head), dequant, rotate
                     ck = (xk - 4.0 * ck_o + 8.0) if which == 0 else ck_o
-                    kd = ck * krng_ref[0, j] + koff_ref[0, j]
+                    kd = ck * c_krng(h) + c_koff(h)
                     if k_channels:
                         kd += jax.lax.dot_general(
-                            Rk.astype(ct),
-                            sel[:, j * D:(j + 1) * D].astype(ct),
+                            Rk.astype(ct), c_sel(h).astype(ct),
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
@@ -358,12 +420,13 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                         [-kd[:, half:], kd[:, :half]], axis=1
                     )
                     kx = kd * cos + k_rot * sin
-                    s_blk = dot_s(q, kx)
+                    s_blk = dot_s(q, kx.astype(ct))
                     if k_slots:
                         rotq = jnp.concatenate(
                             [q[:, half:], -q[:, :half]], axis=1
                         )
-                        qe = dot_s(q, Ekc) + dot_s(rotq, Eks)
+                        qe = dot_s(q, Ekc.astype(ct)) + dot_s(
+                            rotq, Eks.astype(ct))
                         for s in range(Jk):
                             s_blk += jnp.where(
                                 kheads[s] == j,
@@ -387,11 +450,11 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 # V: the pair's container tile contracts directly
                 ps = p * vsc_eff
                 if which == 0:
-                    pv = dot_p(ps, xv) - 4.0 * dot_p(ps, cv_o) + (
+                    pv = dot_p(ps, xv_d) - 4.0 * dot_p(ps, cv_o_d) + (
                         8.0 * jnp.sum(ps, axis=-1, keepdims=True)
                     )
                 else:
-                    pv = dot_p(ps, cv_o)
+                    pv = dot_p(ps, cv_o_d)
                 pv = pv + jnp.sum(p * voff_eff, axis=-1, keepdims=True)
                 if v_sparse:
                     for s in range(Jv):
@@ -404,7 +467,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
 
         for j in (range(hg) if codes != "int4x2" else ()):
             h = g * hg + j
-            q = q_ref[0, h]  # (Q, D) fp32, roped at each row's position
+            q = c_q(h)  # (Q, D) fp32, roped at each row's position
 
             if post_k and codes != "nuq":
                 # SPEED-OF-LIGHT K PATH (post-RoPE intN): fold the
@@ -412,8 +475,8 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 # is ONE convert. score = (q*step).c + q.zero (per-row
                 # scalar); outliers contract in their own MXU dot (the MXU
                 # has headroom; the VPU is the bound).
-                qs_f = q * krng_ref[0, j]          # (Q, D) — Q rows only
-                zq = jnp.sum(q * koff_ref[0, j], axis=1, keepdims=True)
+                qs_f = q * c_krng(h)               # (Q, D) — Q rows only
+                zq = jnp.sum(q * c_koff(h), axis=1, keepdims=True)
                 kc = kp_ref[0, 0, j].astype(ct)    # (BT, D): the 1 op
                 s_blk = jax.lax.dot_general(
                     qs_f.astype(ct), kc, (((1,), (1,)), ((), ())),
@@ -423,8 +486,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                     # score correction q . resid via two tiny MXU dots:
                     # (Q,D)x(D,n_kc) then (Q,n_kc)x(n_kc,BT) — zero VPU
                     qsel = jax.lax.dot_general(
-                        q.astype(ct),
-                        sel[:, j * D:(j + 1) * D].astype(ct),
+                        q.astype(ct), c_sel(h).astype(ct),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (Q, n_kc)
@@ -450,19 +512,18 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 if codes == "nuq":
                     kwords = kp_ref[0, 0, j].astype(jnp.uint32)
                     kd = _unpack_dequant(kwords, klut, bits, D, BT)  # (BT, D)
-                    kd = kd * krng_ref[0, j] + koff_ref[0, j]
+                    kd = kd * c_krng(h) + c_koff(h)
                 else:
                     # hardware intN codes: dequant is ONE convert + fma —
                     # the wrapper folds the affine codebook into krng/koff
                     # (k_step/k_zero), the entire K reconstruction
                     kd = kp_ref[0, 0, j].astype(jnp.float32)
-                    kd = kd * krng_ref[0, j] + koff_ref[0, j]
+                    kd = kd * c_krng(h) + c_koff(h)
                 if k_channels:
                     # densify this head's residual slice on the MXU:
                     # (BT, n_kc) x (n_kc, D) — one VPU add per element
                     kd += jax.lax.dot_general(
-                        Rk.astype(ct),
-                        sel[:, j * D:(j + 1) * D].astype(ct),
+                        Rk.astype(ct), c_sel(h).astype(ct),
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -581,26 +642,48 @@ def flash_attention(
     one layer. Tq == 1 is the decode step; Tq > 1 is blockwise quantized
     prefill (each query row masked to its own position — nothing O(Tq*Tc)
     ever materializes, unlike ops/deployed.block_attention's XLA path).
-    Returns (B, Hkv, Q, D) fp32. Cache arrays stay (L, ...); the layer is
-    selected by scalar-prefetched index maps — no caller-side slicing."""
+    Returns (B, Hkv, Q, D) fp32. The BIG cache arrays stay (L, ...) with
+    the layer selected by scalar-prefetched index maps; the SMALL per-layer
+    arrays (q, k_range/k_offset, sinks, channel selection) are packed into
+    ONE (B, R, D) constants operand per call — the kernel takes exactly six
+    inputs (see module docstring: >6 operands fall off the Mosaic pipeline
+    fast path, measured 1.2 -> 3.8 ms/layer at 512K)."""
     B, Hkv, Q, D = q_rot.shape
     assert Q % Tq == 0
     bits = dcfg.bits
     L = k_planes.shape[0]
     if dcfg.codes == "nuq":
         Tc = k_planes.shape[-2] * 32
-        vab = jnp.zeros((L, 1, 2), jnp.float32)  # unread in nuq mode
+        vab = jnp.zeros((L, 2), jnp.float32)  # unread in nuq mode
     else:
         Tc = k_planes.shape[-2]
         k_range, k_offset, vab = fold_affine(
             dcfg, k_lut, v_lut, k_range, k_offset
         )
     BT = _pick_bt(Tc, block_tokens)
+    # all heads' code blocks ride in one grid step now: shrink BT until the
+    # double-buffered VMEM estimate fits the ~16MB budget with headroom
+    hgb = dcfg.head_group
+    code_bytes = {
+        "nuq": hgb * bits * D // 8,
+        "int4": hgb * D // 2, "int4x2": hgb * D // 4, "int8": hgb * D,
+    }[dcfg.codes]  # per token per group block
+
+    def vmem_est(bt):
+        cs_b = 0 if dcfg.post_rope_k else 2 * D * 4
+        per_bt = 2 * code_bytes * 2 + kv_out.shape[-2] * 4 * 2 + (
+            cs_b + Q * 4 + 2 * 4 * 2
+        )
+        return bt * per_bt + Hkv * Q * (2 * 128 + 2 * D) * 4
+
+    while BT > 256 and vmem_est(BT) > 11 * 2 ** 20:
+        BT //= 2
     nt = Tc // BT
     S = dcfg.sink
     J = kv_out.shape[-2]
     sparse = bool(dcfg.include_sparse)
     K = 2 ** bits
+    li = jnp.asarray(li, jnp.int32)
 
     hg = dcfg.head_group
     if sparse and dcfg.k_outliers == "channels":
@@ -608,20 +691,71 @@ def flash_attention(
 
         assert k_ressc is not None, "channels mode needs k_ressc"
         k_sel = k_channel_onehot(k_ressc, dcfg)  # (L, G, n_kc, hg*D)
+        nsel = k_sel.shape[2]
+        # per-HEAD selection rows (L, Hkv, nsel, D) — band rows per head
+        k_sel_rows = (
+            k_sel.reshape(L, Hkv // hg, nsel, hg, D)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, Hkv, nsel, D)
+        )
     else:
-        k_sel = jnp.zeros((L, Hkv // hg, 1, hg * D), jnp.float32)
-    nsel = k_sel.shape[2]
+        nsel = 0
+        k_sel_rows = None
+
+    # ---- pack the per-call constants operand (B, Hkv, RH, D): one row
+    # BAND per head (q | krng | koff | ksink | vsink | sel | luts) ----
+    def bcast_h(a):  # (Hkv, rows, D) -> (B, Hkv, rows, D)
+        return jnp.broadcast_to(a[None], (B,) + a.shape)
+
+    parts = [q_rot.astype(jnp.float32)]
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_range.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_offset.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
+    if S > 0:
+        parts.append(jax.lax.dynamic_index_in_dim(
+            k_sink.astype(jnp.float32), li, 0, keepdims=False))
+        parts.append(jax.lax.dynamic_index_in_dim(
+            v_sink.astype(jnp.float32), li, 0, keepdims=False))
+    if nsel:
+        parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+            k_sel_rows, li, 0, keepdims=False)))
+    # LUT/vab scalars ride as trailing band rows, replicated per head (an
+    # SMEM input stream measurably trips the same pipeline cliff as a 7th
+    # operand). Each codebook spans ceil(K / D) rows — entry i lives at
+    # (row i // D, lane i % D) — then one [va, vb] row.
+    n_lr = -(-K // D)
+
+    def lut_chunks(lut):
+        padded = jnp.pad(lut.astype(jnp.float32), ((0, 0), (0, n_lr * D - K)))
+        return padded.reshape(L, n_lr, D)
+
+    lut_rows = jnp.concatenate(
+        [lut_chunks(k_lut), lut_chunks(v_lut),
+         jnp.pad(vab, ((0, 0), (0, D - 2)))[:, None, :]],
+        axis=1,
+    )  # (L, 2*n_lr + 1, D)
+    lut_l = jax.lax.dynamic_index_in_dim(lut_rows, li, 0, keepdims=False)
+    parts.append(jnp.broadcast_to(
+        lut_l[None, None], (B, Hkv) + lut_l.shape
+    ))
+    cst = jnp.concatenate(parts, axis=2)
+    RH = cst.shape[2]
+
+
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=Tq, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
         post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
-        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side,
+        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side, nsel=nsel,
     )
-    # one grid step processes a whole head GROUP (hg heads): the group's
-    # outlier tile is decoded once over (BT, hg*D), and the per-(b, t)
-    # cos/sin + mask scratch is shared by all heads of all groups
+    # grid (B, nt, G): one grid step per head GROUP. The constants block
+    # (cst) is g-INDEPENDENT — the kernel indexes its per-head band with
+    # the traced h = g*hg + j on the UNTILED head axis, which is free
+    # (sub-tile ROW slices and per-group small-block refetches are not;
+    # see the band note in _flash_kernel)
     grid = (B, nt, Hkv // hg)
 
     def im(f):
@@ -665,39 +799,19 @@ def flash_attention(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hkv, Q, D), im(lambda li, b, t, g: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, RH, D),
+                         lambda b, t, g, li_r, pos_r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             code_spec(),
             code_spec(),
             pl.BlockSpec((1, 1, 1, J, BT),
                          imt(lambda li, b, t, g: (li, b, g, 0, t)),
                          memory_space=pltpu.VMEM),
-            # singleton sublane axes so the (sublane, lane) block dims equal
-            # the array dims (Mosaic tile rule for last-two dims)
-            pl.BlockSpec((1, hg, 1, D), im(lambda li, b, t, g: (li, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, 1, D), im(lambda li, b, t, g: (li, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT),
                          imt(lambda li, b, t, g: (li, b, 0, t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT),
                          imt(lambda li, b, t, g: (li, b, 0, t)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, max(S, 1), D),
-                         im(lambda li, b, t, g: (li, b, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, max(S, 1), D),
-                         im(lambda li, b, t, g: (li, b, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li, b, t, g: (li, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li, b, t, g: (li, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), im(lambda li, b, t, g: (li, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nsel, hg * D),
-                         im(lambda li, b, t, g: (li, g, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -707,14 +821,15 @@ def flash_attention(
         scratch_shapes=[
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # m
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # l
-            pltpu.VMEM((2, BT, D), jnp.float32),     # cos/sin
+            # cos/sin tiles: unused under post-RoPE storage — minimal
+            # allocation there frees ~2*BT*D*4 bytes of VMEM for bigger
+            # token blocks
+            pltpu.VMEM(
+                (2, 8 if dcfg.post_rope_k else BT, D), jnp.float32
+            ),
             pltpu.VMEM((Q, BT), jnp.float32),        # additive mask
         ],
     )
-
-    if S == 0:  # dummy 1-row sink blocks (never read: S==0 skips the init dot)
-        k_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
-        v_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
 
     return pl.pallas_call(
         kern,
@@ -722,22 +837,14 @@ def flash_attention(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Q, D), jnp.float32),
         interpret=_interpret(),
     )(
-        jnp.reshape(jnp.asarray(li, jnp.int32), (1,)),
+        jnp.reshape(li, (1,)),
         jnp.asarray(pos, jnp.int32).reshape(B),
-        q_rot.astype(jnp.float32),
+        cst,
         k_planes,
         v_planes,
         kv_out,
-        k_range.astype(jnp.float32)[:, :, None, :],
-        k_offset.astype(jnp.float32)[:, :, None, :],
         v_scale.astype(jnp.float32)[:, :, None, :],
         v_offset.astype(jnp.float32)[:, :, None, :],
-        k_sink.astype(jnp.float32),
-        v_sink.astype(jnp.float32),
-        k_lut.astype(jnp.float32)[:, None, :],
-        v_lut.astype(jnp.float32)[:, None, :],
-        vab,
-        k_sel,
     )
 
 

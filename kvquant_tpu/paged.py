@@ -72,7 +72,8 @@ def create_paged_pool(dcfg: DeployConfig, n_layers: int, n_pages: int,
     if dcfg.codes == "nuq":
         planes = lambda: z((L, NP, H, dcfg.bits, P // 32, D), jnp.int32)
     else:
-        planes = lambda: z((L, NP, H, P, D), dcfg.code_dtype)
+        Hc = H // 2 if dcfg.codes == "int4x2" else H
+        planes = lambda: z((L, NP, Hc, P, D), dcfg.code_dtype)
     return PagedPool(
         k_planes=planes(),
         v_planes=planes(),
@@ -131,8 +132,6 @@ def paged_flash_decode(
 
     k_range = dq.k_range.astype(jnp.float32)
     k_offset = dq.k_offset.astype(jnp.float32)
-    v_scale = pool.v_scale
-    v_offset = pool.v_offset
     k_lut = dq.k_lut_dec.astype(jnp.float32)
     v_lut = dq.v_lut_dec.astype(jnp.float32)
     L = pool.k_planes.shape[0]
@@ -141,22 +140,67 @@ def paged_flash_decode(
             dcfg, k_lut, v_lut, k_range, k_offset
         )
     else:
-        vab = jnp.zeros((L, 1, 2), jnp.float32)
+        vab = jnp.zeros((L, 2), jnp.float32)
+    li = jnp.asarray(li, jnp.int32)
 
     if sparse and dcfg.k_outliers == "channels":
         from .cache import k_channel_onehot
 
         k_sel = k_channel_onehot(dq.k_ressc, dcfg)  # (L, G, n_kc, hg*D)
+        nsel = k_sel.shape[2]
+        k_sel_rows = (
+            k_sel.reshape(L, Hkv // hg, nsel, hg, D)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, Hkv, nsel, D)
+        )
     else:
-        k_sel = jnp.zeros((L, Hkv // hg, 1, hg * D), jnp.float32)
-    nsel = k_sel.shape[2]
+        nsel = 0
+        k_sel_rows = None
+
+    # per-call constants operand (B, Hkv, RH, D) — one row BAND per head,
+    # same layout as flash_attention (six inputs; sub-tile row slices of a
+    # flat block trigger per-read relayouts — see ops/pallas/flash_decode)
+    def bcast_h(a):
+        return jnp.broadcast_to(a[None], (B,) + a.shape)
+
+    parts = [q_rot.astype(jnp.float32)]
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_range, li, 0, keepdims=False)[:, None]))
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_offset, li, 0, keepdims=False)[:, None]))
+    if S > 0:
+        parts.append(jax.lax.dynamic_index_in_dim(
+            pool.k_sink.astype(jnp.float32), li, 0, keepdims=False))
+        parts.append(jax.lax.dynamic_index_in_dim(
+            pool.v_sink.astype(jnp.float32), li, 0, keepdims=False))
+    if nsel:
+        parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+            k_sel_rows, li, 0, keepdims=False)))
+    n_lr = -(-K // D)
+
+    def lut_chunks(lut):
+        padded = jnp.pad(lut, ((0, 0), (0, n_lr * D - K)))
+        return padded.reshape(L, n_lr, D)
+
+    lut_rows = jnp.concatenate(
+        [lut_chunks(k_lut), lut_chunks(v_lut),
+         jnp.pad(vab, ((0, 0), (0, D - 2)))[:, None, :]],
+        axis=1,
+    )
+    lut_l = jax.lax.dynamic_index_in_dim(lut_rows, li, 0, keepdims=False)
+    parts.append(jnp.broadcast_to(
+        lut_l[None, None], (B, Hkv) + lut_l.shape
+    ))
+    cst = jnp.concatenate(parts, axis=2)
+    RH = cst.shape[2]
+
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=1, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J=J, dot_bf16=dcfg.dot_bf16, nt=MP, hg=hg, codes=dcfg.codes,
         post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
-        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side,
+        k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side, nsel=nsel,
     )
     grid = (B, MP, Hkv // hg)
 
@@ -178,6 +222,13 @@ def paged_flash_decode(
             imp(lambda li_, p, g: (li_, p, g, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         )
+    elif dcfg.codes == "int4x2":
+        assert hg % 2 == 0, "int4x2 flash kernel pairs heads within a group"
+        code_spec = lambda: pl.BlockSpec(
+            (1, 1, hg // 2, BT, D),
+            imp(lambda li_, p, g: (li_, p, g, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
     else:
         code_spec = lambda: pl.BlockSpec(
             (1, 1, hg, BT, D),
@@ -189,40 +240,19 @@ def paged_flash_decode(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hkv, Q, D),
-                         im(lambda li_, b, t, g: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, RH, D),
+                         (lambda b, t, g, li_r, pos_r, pt_r: (b, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
             code_spec(),
             code_spec(),
             pl.BlockSpec((1, 1, 1, J, BT),
                          imp(lambda li_, p, g: (li_, p, g, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, 1, D),
-                         im(lambda li_, b, t, g: (li_, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, 1, D),
-                         im(lambda li_, b, t, g: (li_, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT),
                          imp(lambda li_, p, g: (li_, p, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT),
                          imp(lambda li_, p, g: (li_, p, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, max(S, 1), D),
-                         im(lambda li_, b, t, g: (li_, b, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, max(S, 1), D),
-                         im(lambda li_, b, t, g: (li_, b, g, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li_, b, t, g: (li_, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K), im(lambda li_, b, t, g: (li_, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), im(lambda li_, b, t, g: (li_, 0, 0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nsel, hg * D),
-                         im(lambda li_, b, t, g: (li_, g, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -232,16 +262,15 @@ def paged_flash_decode(
         scratch_shapes=[
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),
             pltpu.VMEM((Hkv, Q, 128), jnp.float32),
-            pltpu.VMEM((2, BT, D), jnp.float32),
+            # cos/sin tiles: unused under post-RoPE storage — minimal
+            # allocation there frees ~2*BT*D*4 bytes of VMEM for bigger
+            # token blocks
+            pltpu.VMEM(
+                (2, 8 if dcfg.post_rope_k else BT, D), jnp.float32
+            ),
             pltpu.VMEM((Q, BT), jnp.float32),
         ],
     )
-
-    k_sink, v_sink = pool.k_sink, pool.v_sink
-    if S == 0:
-        L = pool.k_planes.shape[0]
-        k_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
-        v_sink = jnp.zeros((L, B, Hkv, 1, D), jnp.float32)
 
     wrapped = lambda li_ref, pos_ref, pt_ref, *refs: kern(li_ref, pos_ref, *refs)
     return pl.pallas_call(
@@ -250,23 +279,15 @@ def paged_flash_decode(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Q, D), jnp.float32),
         interpret=_interpret(),
     )(
-        jnp.reshape(jnp.asarray(li, jnp.int32), (1,)),
+        jnp.reshape(li, (1,)),
         jnp.asarray(pos, jnp.int32).reshape(B),
         jnp.asarray(page_table, jnp.int32),
-        q_rot.astype(jnp.float32),
+        cst,
         pool.k_planes,
         pool.v_planes,
         pool.kv_out,
-        k_range[:, :, None, :],
-        k_offset[:, :, None, :],
-        v_scale[:, :, None, :],
-        v_offset[:, :, None, :],
-        k_sink.astype(jnp.float32),
-        v_sink.astype(jnp.float32),
-        k_lut[:, None, :],
-        v_lut[:, None, :],
-        vab,
-        k_sel,
+        pool.v_scale.astype(jnp.float32)[:, :, None, :],
+        pool.v_offset.astype(jnp.float32)[:, :, None, :],
     )
 
 
@@ -327,7 +348,8 @@ def paged_append_token(
     # ROW-level read-modify-write (one word row / one intN row), exactly
     # like the contiguous append — no page ever copies.
     def put_planes(planes, codes):
-        from .ops.packing import token_word_bit, store_codes_int
+        from .ops.packing import token_word_bit
+        from .ops.deployed import _encode_rows
 
         bits = dcfg.bits
 
@@ -359,9 +381,7 @@ def paged_append_token(
                 pl_, (li, page_of[i], 0, row[i], 0),
                 (1, 1, pl_.shape[2], 1, pl_.shape[4]),
             )
-            new = store_codes_int(
-                codes[i][None, None, :, None, :], bits, pl_.dtype
-            )
+            new = _encode_rows(codes[i], dcfg)[None, None, :, None, :]
             new = jnp.where(not_sink[i], new, old)
             return jax.lax.dynamic_update_slice(
                 pl_, new, (li, page_of[i], 0, row[i], 0)

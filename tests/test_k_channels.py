@@ -273,6 +273,7 @@ def test_flash_channels_block_prefill_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_channels_paged_matches_contiguous():
     from kvquant_tpu.paged import create_paged_pool, paged_decode_step
 

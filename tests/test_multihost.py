@@ -104,6 +104,7 @@ WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_two_process_sharded_decode(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)

@@ -43,7 +43,8 @@ def _setup(cfg, bits=4, max_len=2053, codes="int4"):
     return params, dq, dcfg
 
 
-@pytest.mark.parametrize("codes", ["int4", "nuq"])
+@pytest.mark.parametrize("codes", [
+    pytest.param("int4", marks=pytest.mark.slow), "nuq"])
 def test_paged_matches_contiguous_with_permuted_pages(codes):
     """Decode past one page boundary with slots' pages deliberately
     scattered across the pool: logits must match the contiguous flash
@@ -113,6 +114,7 @@ def test_inactive_slots_write_nothing():
     )
 
 
+@pytest.mark.slow
 def test_paged_server_matches_isolated_generation():
     cfg = TINY_LLAMA
     params, dq, dcfg = _setup(cfg)
@@ -140,6 +142,7 @@ def test_paged_server_matches_isolated_generation():
     assert sorted(srv.free) == [0, 1, 2]  # every page returned
 
 
+@pytest.mark.slow
 def test_paged_server_chunked_admission():
     """Non-blocking admission: prompts stream in one quantized-trajectory
     chunk per step; completions must match isolated generation through the
@@ -172,6 +175,7 @@ def test_paged_server_chunked_admission():
     assert sorted(srv.free) == [0, 1, 2, 3]
 
 
+@pytest.mark.slow
 def test_burst_decode_matches_per_step():
     """Device-side decode bursts (run() scans up to ``burst`` greedy steps
     per host round trip) must be TOKEN-IDENTICAL to per-step serving,

@@ -104,6 +104,9 @@ class TestPVFused:
 class TestDecodePallasVsXla:
     """Full decode_attention with kernel='pallas' vs 'xla' must agree."""
 
+    # two-pass legacy kernels: bit-level coverage lives in TestQKFused/
+    # TestPVFused; the full-decode cross-check is exhaustive-tier
+    @pytest.mark.slow
     @pytest.mark.parametrize("bits", [4, 2])
     def test_decode_attention(self, bits):
         import dataclasses

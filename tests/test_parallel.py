@@ -112,6 +112,8 @@ class TestShardedDecode:
 
 
 class TestGraftEntry:
+    # the driver compile-checks __graft_entry__ every round on its own
+    @pytest.mark.slow
     def test_entry_and_dryrun(self):
         import sys, os
         sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))

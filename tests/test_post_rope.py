@@ -73,8 +73,14 @@ def test_decode_matches_simulated_post_rope():
     assert agree > 0.95, agree
 
 
-@pytest.mark.parametrize("cfg", [TINY_LLAMA, TINY_GQA], ids=["mha", "gqa"])
-@pytest.mark.parametrize("codes", ["int4", "nuq"])
+# fast tier keeps the cross pair (int4-mha, nuq-gqa); the other diagonal
+# is exhaustive-tier
+@pytest.mark.parametrize("cfg,codes", [
+    pytest.param(TINY_LLAMA, "int4", id="int4-mha"),
+    pytest.param(TINY_GQA, "nuq", id="nuq-gqa"),
+    pytest.param(TINY_GQA, "int4", id="int4-gqa", marks=pytest.mark.slow),
+    pytest.param(TINY_LLAMA, "nuq", id="nuq-mha", marks=pytest.mark.slow),
+])
 def test_flash_post_rope_single_step_tight(cfg, codes):
     params, qs, dq, mk0 = _setup(cfg, codes=codes,
                                  mode="uniform" if codes != "nuq" else "nuq")
@@ -109,6 +115,7 @@ def test_post_rope_prefill_matches_decode():
     )
 
 
+@pytest.mark.slow
 def test_fp16_prefill_then_decode_post_rope():
     """prefill (fp16 trajectory, parallel pack of roped keys) + decode."""
     cfg = TINY_LLAMA
