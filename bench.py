@@ -69,16 +69,24 @@ def main():
     k_out = os.environ.get("BENCH_KOUT", "channels")  # slots | channels
     n_kc = int(os.environ.get("BENCH_NKC", 4))
     cap = int(os.environ.get("BENCH_CAP", 0))  # outlier slots per side
+    n_heads = int(os.environ.get("BENCH_HEADS", 16))
+    n_kv = int(os.environ.get("BENCH_KVHEADS", n_heads))  # < heads => GQA
     scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
     if post_rope:
         scheme += "_postk"
     if k_out == "channels":
         scheme += "_kch"
+    if n_kv != n_heads:
+        scheme += f"_gqa{n_heads}x{n_kv}"
 
-    # LLaMA-shaped model (random init — zero egress), bf16
+    # LLaMA-shaped model (random init — zero egress), bf16. BENCH_KVHEADS
+    # below BENCH_HEADS benches a Llama-3-style GQA shape — the bytes/step
+    # ratio changes materially (KV cache shrinks by heads/kv_heads on BOTH
+    # sides, so the quant-vs-fp16 ratio at a given ctx moves toward the
+    # weight-bound regime).
     cfg = ModelConfig(
-        vocab_size=32000, d_model=2048, n_layers=n_layers, n_heads=16,
-        n_kv_heads=16, d_head=128, d_ff=5632, max_seq_len=max(4096, ctx),
+        vocab_size=32000, d_model=2048, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, d_head=128, d_ff=5632, max_seq_len=max(4096, ctx),
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
 

@@ -159,7 +159,10 @@ def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
 
 def train_induction_model(
     cfg: ModelConfig = IND_CFG,
-    steps: int = 3000,
+    # 3000 steps leaves the masked loss at ~3.8 and still falling — the
+    # round-2 checkpoint was saved there and retrieved at CHANCE level
+    # (~ln 500). 12000 steps forms the circuit (round-3 measurement)
+    steps: int = 12000,
     batch: int = 32,
     seq_len: int = 512,
     max_jump: int = 131072,
