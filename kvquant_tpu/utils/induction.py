@@ -12,13 +12,19 @@ so the needle grid measures genuine retrieval ACCURACY through the
 quantized cache (and its delta vs the fp16 cache) at 16K-64K contexts.
 
 Language: sequences over a 500-token haystack alphabet with N_NEEDLES
-planted needles ``[key, v1, v2]`` — keys drawn WITHOUT replacement from a
-dedicated 10-token key alphabet (disjoint from the haystack, so matching
-is by key IDENTITY and haystack collisions are impossible) — and a query
-suffix ``[QUERY, key] -> v1 v2`` naming ONE of them. The distractor
-needles force content-based key matching (attending to "any key token" or
-"the marker" is insufficient): the classic 1-token induction circuit,
-learnable by a small model in minutes.
+planted needles ``[QUERY, key, v1, v2]`` — keys drawn WITHOUT replacement
+from a dedicated 10-token key alphabet (disjoint from the haystack, so
+matching is by key IDENTITY and haystack collisions are impossible) — and
+a query suffix ``[QUERY, key] -> v1 v2`` naming ONE of them. The needle
+REPEATS the query's marker so the (QUERY, key) bigram appears verbatim at
+the needle — the induction circuit that forms on the repeated-segment
+trainer matches on suffix CONTEXT, and a bare key with random haystack
+left-context gives it nothing to match (measured: needle loss stuck at
+chance ln(500) after 12k steps while the repeat loss fell — the round-3
+format). This mirrors the reference needle evals, where the planted
+sentence repeats the question's phrase verbatim (lwm needle / passkey
+prompts). Distractor needles still force key-IDENTITY matching: every
+needle starts [QUERY, key_i], so the marker alone cannot disambiguate.
 
 Length generalization via POSITION JUMPS: training computes only T=512
 tokens, but a random gap of up to ~128K positions is inserted between the
@@ -49,7 +55,7 @@ KEY0, NKEYS = 500, 10  # key alphabet [KEY0, KEY0+NKEYS), disjoint from HAY
 QUERY = 511
 VL = 2             # value token count
 N_NEEDLES = 3      # planted needles (distinct keys; one is queried)
-W = 1 + VL         # planted needle width ([key, values])
+W = 2 + VL         # planted needle width ([QUERY, key, values])
 QW = 1 + 1 + VL    # query block width ([QUERY, key, values])
 
 IND_CFG = ModelConfig(
@@ -84,7 +90,8 @@ def sample_batch(key, batch: int, T: int, max_jump: int):
     idx = jnp.arange(T)
     for n in range(N_NEEDLES):
         pattern = jnp.concatenate(
-            [keys[:, n:n + 1], vals[:, n]], axis=1
+            [jnp.full((batch, 1), QUERY), keys[:, n:n + 1], vals[:, n]],
+            axis=1,
         )  # (B, W)
         rel = idx[None, :] - starts[:, n:n + 1]
         inside = (rel >= 0) & (rel < W)
@@ -119,10 +126,17 @@ def sample_repeat_batch(key, batch: int, T: int, max_jump: int):
     previous-token heads into existence). The position jump between the
     halves trains the copy attention at long relative distances. Loss mask
     covers the second half except its first token (seg[0] is not
-    predictable — nothing marks the repetition start)."""
+    predictable — nothing marks the repetition start).
+
+    Segments draw from the FULL vocab (incl. the key alphabet and the
+    QUERY marker), not just the haystack: the induction circuit matches on
+    token embeddings, and key/marker embeddings that never occur in the
+    copy data stay untrained — measured as the needle half stuck at chance
+    (ln 500) after 12k steps while the repeat loss fell, in BOTH needle
+    formats (with and without the marker bigram)."""
     ks = jax.random.split(key, 2)
     R = T // 2
-    seg = jax.random.randint(ks[0], (batch, R), 0, HAY)
+    seg = jax.random.randint(ks[0], (batch, R), 0, QUERY + 1)
     toks = jnp.concatenate([seg, seg], axis=1)
     idx = jnp.arange(T)
     jump = jax.random.randint(ks[1], (batch, 1), 0, max_jump)
@@ -180,30 +194,29 @@ def train_induction_model(
     opt = optax.adam(lr)
     state = opt.init(params)
 
-    def one_step(carry, key):
-        params, state = carry
+    # SINGLE-step jit + host loop, NOT a scanned segment: through the axon
+    # tunnel the remote compile of even the single fwd+bwd step measures
+    # ~8 minutes (scan-of-steps far worse — the round-3 segment trainer
+    # never got out of its first compile), while dispatch is async and
+    # cheap (20 chained steps measured 29 ms/step end-to-end). One compile
+    # + 12000 host dispatches ≈ 6 device-minutes total.
+    @jax.jit
+    def one_step(params, state, key):
         toks, pos, mask = sample_mixed_batch(key, batch, seq_len, max_jump)
         loss, g = jax.value_and_grad(masked_loss)(
             params, cfg, toks, pos, mask
         )
         upd, state = opt.update(g, state)
-        return (optax.apply_updates(params, upd), state), loss
-
-    @jax.jit
-    def run_segment(params, state, key0):
-        keys = jax.random.split(key0, segment)
-        (params, state), losses = jax.lax.scan(
-            one_step, (params, state), keys
-        )
-        return params, state, losses
+        return optax.apply_updates(params, upd), state, loss
 
     loss = float("nan")
-    for s in range(-(-steps // segment)):
-        params, state, losses = run_segment(
+    for s in range(steps):
+        params, state, loss_d = one_step(
             params, state, jax.random.PRNGKey(1000 + s)
         )
-        loss = float(losses[-10:].mean())
-        log(f"[induction] step {(s + 1) * segment}: masked loss {loss:.4f}")
+        if (s + 1) % segment == 0 or s + 1 == steps:
+            loss = float(loss_d)
+            log(f"[induction] step {s + 1}: masked loss {loss:.4f}")
     return params, loss
 
 
@@ -227,8 +240,10 @@ def cached_induction_model(path: str = CKPT, log=print):
 def build_retrieval_prompt(ctx: int, depth: float, seed: int):
     """A ctx-token haystack with the QUERIED needle at ``depth`` in [0, 1]
     and N_NEEDLES-1 distractors at other depths, ending in the query block
-    [QUERY, key]. Returns (ids (ctx,) int32, answer (VL,) int32): the
-    model must emit the VL value tokens greedily."""
+    [QUERY, key]. Each planted needle is [QUERY, key, v1, v2] — the query's
+    marker bigram appears verbatim at the needle (see module docstring).
+    Returns (ids (ctx,) int32, answer (VL,) int32): the model must emit
+    the VL value tokens greedily."""
     r = np.random.default_rng(seed)
     ids = r.integers(0, HAY, size=ctx).astype(np.int32)
     keys = KEY0 + r.permutation(NKEYS)[:N_NEEDLES]
@@ -241,8 +256,9 @@ def build_retrieval_prompt(ctx: int, depth: float, seed: int):
         if all(abs(s - t) >= W for t in starts):
             starts.append(s)
     for n, s in enumerate(starts):
-        ids[s] = keys[n]
-        ids[s + 1:s + W] = vals[n]
+        ids[s] = QUERY
+        ids[s + 1] = keys[n]
+        ids[s + 2:s + W] = vals[n]
     ids[region] = QUERY
     ids[region + 1] = keys[0]
     return ids, vals[0].astype(np.int32)

@@ -21,7 +21,9 @@ def test_sample_batch_structure():
     region = T - QW
     assert toks.shape == pos.shape == mask.shape == (B, T)
     # query block: [QUERY, key, v1, v2] with the key/values of a planted
-    # needle (key tokens come from the dedicated disjoint alphabet)
+    # needle (key tokens come from the dedicated disjoint alphabet); the
+    # needle itself is [QUERY, key, v1, v2] — the query's marker bigram
+    # appears verbatim at the needle
     assert (toks[:, region] == QUERY).all()
     qkey = toks[:, region + 1]
     assert ((qkey >= KEY0) & (qkey < KEY0 + NKEYS)).all()
@@ -29,8 +31,9 @@ def test_sample_batch_structure():
         (where,) = np.nonzero(toks[b, :region] == qkey[b])
         assert len(where) == 1  # keys are distinct per sequence
         s = where[0]
+        assert toks[b, s - 1] == QUERY  # needle repeats the marker
         np.testing.assert_array_equal(
-            toks[b, s + 1:s + W], toks[b, region + 2:region + 2 + VL]
+            toks[b, s + 1:s + 1 + VL], toks[b, region + 2:region + 2 + VL]
         )
     # positions: contiguous, one jump before the query block
     assert (np.diff(pos, axis=1) >= 1).all()
@@ -47,7 +50,7 @@ def test_sample_repeat_batch_structure():
     toks, pos, mask = map(np.asarray, (toks, pos, mask))
     R = T // 2
     np.testing.assert_array_equal(toks[:, :R], toks[:, R:])
-    assert (toks < HAY).all()
+    assert (toks <= QUERY).all()  # full vocab incl. keys/marker
     assert (mask.sum(1) == R - 1).all()
     assert (np.diff(pos, axis=1) >= 1).all()
 
@@ -68,7 +71,8 @@ def test_build_retrieval_prompt():
         (where,) = np.nonzero(ids[:-2] == key)
         assert len(where) == 1
         s = where[0]
-        np.testing.assert_array_equal(ids[s + 1:s + W], answer)
+        assert ids[s - 1] == QUERY  # needle repeats the query marker
+        np.testing.assert_array_equal(ids[s + 1:s + 1 + VL], answer)
         # distractor needles carry different keys
         n_keys = ((ids[:-2] >= KEY0) & (ids[:-2] < KEY0 + NKEYS)).sum()
         assert n_keys == N_NEEDLES
