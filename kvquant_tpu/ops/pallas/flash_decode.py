@@ -78,6 +78,12 @@ from .attention import _pick_bt, _interpret, GROUP, WPG
 NEG = -1e30
 
 
+def _PAIRED(dcfg):
+    """True when the kernel runs the pair-stacked int4x2 path (post-RoPE
+    head-paired containers): m/l scratch is per-pair and the mask doubles."""
+    return dcfg.codes == "int4x2" and dcfg.post_rope_k
+
+
 def _unpack_dequant(words_u32, lut_vals, bits: int, D: int, BT: int):
     """(bits, BT//32, D) uint32 bit-planes -> (BT, D) fp32 via mux tree.
 
@@ -168,6 +174,84 @@ def fold_affine(dcfg, k_lut, v_lut, k_range, k_offset):
     )
 
 
+def prep_constants(q_rot, k_range, k_offset, k_sink, v_sink, k_lut, v_lut,
+                   li, dcfg, k_ressc=None):
+    """Pack the per-call constants operand (B, Hkv, RH, D) — one row BAND
+    per head (q | krng | koff | ksink | vsink | sel | luts) — shared by the
+    pipelined flash kernel and the manual-DMA serial kernel.
+
+    For intN/int4x2 codes the affine codebook is folded into the returned
+    band rows (fold_affine): krng/koff become k_step/k_zero and [va, vb]
+    rides the trailing LUT row. Returns (cst, nsel)."""
+    B, Hkv, Q, D = q_rot.shape
+    L = k_range.shape[0]
+    bits = dcfg.bits
+    K = 2 ** bits
+    S = dcfg.sink
+    hg = dcfg.head_group
+    li = jnp.asarray(li, jnp.int32)
+
+    if dcfg.codes == "nuq":
+        vab = jnp.zeros((L, 2), jnp.float32)  # unread in nuq mode
+    else:
+        k_range, k_offset, vab = fold_affine(
+            dcfg, k_lut, v_lut, k_range, k_offset
+        )
+
+    if dcfg.include_sparse and dcfg.k_outliers == "channels":
+        from ...cache import k_channel_onehot
+
+        assert k_ressc is not None, "channels mode needs k_ressc"
+        k_sel = k_channel_onehot(k_ressc, dcfg)  # (L, G, n_kc, hg*D)
+        nsel = k_sel.shape[2]
+        # per-HEAD selection rows (L, Hkv, nsel, D) — band rows per head
+        k_sel_rows = (
+            k_sel.reshape(L, Hkv // hg, nsel, hg, D)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, Hkv, nsel, D)
+        )
+    else:
+        nsel = 0
+        k_sel_rows = None
+
+    def bcast_h(a):  # (Hkv, rows, D) -> (B, Hkv, rows, D)
+        return jnp.broadcast_to(a[None], (B,) + a.shape)
+
+    parts = [q_rot.astype(jnp.float32)]
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_range.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
+    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+        k_offset.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
+    if S > 0:
+        parts.append(jax.lax.dynamic_index_in_dim(
+            k_sink.astype(jnp.float32), li, 0, keepdims=False))
+        parts.append(jax.lax.dynamic_index_in_dim(
+            v_sink.astype(jnp.float32), li, 0, keepdims=False))
+    if nsel:
+        parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
+            k_sel_rows, li, 0, keepdims=False)))
+    # LUT/vab scalars ride as trailing band rows, replicated per head (an
+    # SMEM input stream measurably trips the same pipeline cliff as a 7th
+    # operand). Each codebook spans ceil(K / D) rows — entry i lives at
+    # (row i // D, lane i % D) — then one [va, vb] row.
+    n_lr = -(-K // D)
+
+    def lut_chunks(lut):
+        padded = jnp.pad(lut.astype(jnp.float32), ((0, 0), (0, n_lr * D - K)))
+        return padded.reshape(L, n_lr, D)
+
+    lut_rows = jnp.concatenate(
+        [lut_chunks(k_lut), lut_chunks(v_lut),
+         jnp.pad(vab, ((0, 0), (0, D - 2)))[:, None, :]],
+        axis=1,
+    )  # (L, 2*n_lr + 1, D)
+    lut_l = jax.lax.dynamic_index_in_dim(lut_rows, li, 0, keepdims=False)
+    parts.append(jnp.broadcast_to(
+        lut_l[None, None], (B, Hkv) + lut_l.shape
+    ))
+    return jnp.concatenate(parts, axis=2), nsel
+
+
 def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                   scaling, window, sparse, spk, J, dot_bf16, nt, hg,
                   codes="nuq", post_k=False, n_live=None, k_mode="slots",
@@ -181,6 +265,15 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     v_sparse = sparse and (n_live_v is None or n_live_v > 0)
     Jk = min(spk, n_live) if k_slots else 0
     Jv = min(J - spk, n_live_v) if v_sparse else 0
+    # PAIR-STACKED int4x2 (post-RoPE): both heads of a container pair are
+    # processed as ONE (2Q, BT) score block — 2 MXU passes per pair instead
+    # of 3 (the even head's x-dot and the shared c_odd-dot serve both heads
+    # via zero-padded stacked query rows), and ONE online-softmax update
+    # instead of two (a (Q, BT) VPU op at Q < 8 wastes the idle sublanes;
+    # stacking fills them). m/l scratch and the validity mask are laid out
+    # per PAIR ((Hkv//2, 2Q, 128) / (2Q, BT)) when this path is active.
+    paired = codes == "int4x2" and post_k
+    Qm = 2 * Q if paired else Q  # softmax row count per state update
 
     # per-head BAND offsets in cst (B, Hkv, RH, D). Every read below loads
     # the head's FULL band (cst_ref[0, h] — the whole trailing (RH, D)
@@ -247,12 +340,15 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
             c, s = jnp.cos(ang), jnp.sin(ang)
             cs_ref[0] = jnp.concatenate([c, c], axis=1)
             cs_ref[1] = jnp.concatenate([s, s], axis=1)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 1) + t * BT
+        # paired mode doubles the mask rows: stacked row r maps to original
+        # row r % Q, and Q % Tq == 0 makes (r % Q) % Tq == r % Tq — the
+        # same position formula covers both halves
+        idx = jax.lax.broadcasted_iota(jnp.int32, (Qm, BT), 1) + t * BT
         if Tq == 1:
             rowpos = pos
         else:
             rowpos = pos + (
-                jax.lax.broadcasted_iota(jnp.int32, (Q, BT), 0) % Tq
+                jax.lax.broadcasted_iota(jnp.int32, (Qm, BT), 0) % Tq
             )
         valid = idx <= rowpos - S
         if window is not None:
@@ -262,8 +358,7 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
     # ---- t == 0: initialize online softmax from the sink prefix ----
     @pl.when(t == 0)
     def _():
-        for j in range(hg):
-            h = g * hg + j
+        def sink_init(h):
             q = c_q(h)  # (Q, D)
             if S > 0:
                 ks = c_ksink(h)  # (S, D) post-RoPE keys
@@ -292,9 +387,27 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
                 m0 = jnp.full((Q, 1), NEG, jnp.float32)
                 l0 = jnp.zeros((Q, 1), jnp.float32)
                 acc0 = jnp.zeros((Q, D), jnp.float32)
-            m_ref[h] = jnp.broadcast_to(m0, (Q, 128))
-            l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
             out_ref[0, h] = acc0
+            return m0, l0
+
+        if paired:
+            for jj in range(hg // 2):
+                he = g * hg + 2 * jj
+                pair = g * (hg // 2) + jj
+                m_e, l_e = sink_init(he)
+                m_o, l_o = sink_init(he + 1)
+                m_ref[pair] = jnp.broadcast_to(
+                    jnp.concatenate([m_e, m_o], axis=0), (2 * Q, 128)
+                )
+                l_ref[pair] = jnp.broadcast_to(
+                    jnp.concatenate([l_e, l_o], axis=0), (2 * Q, 128)
+                )
+        else:
+            for j in range(hg):
+                h = g * hg + j
+                m0, l0 = sink_init(h)
+                m_ref[h] = jnp.broadcast_to(m0, (Q, 128))
+                l_ref[h] = jnp.broadcast_to(l0, (Q, 128))
 
     # ---- live blocks: the fused dense + sparse attention update ----
     @pl.when(live)
@@ -355,84 +468,141 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
         # (K: 8*sum(q*step) rides the zq scalar; V: 8*rowsum(ps)).
         # Under dot_bf16 the pair tiles are cast ONCE and reused by all
         # the pair's dots; the unpack arithmetic stays f32 (exact floor).
-        for jj in (range(hg // 2) if codes == "int4x2" else ()):
+        #
+        # POST-RoPE (paired=True) stacks the pair into ONE (2Q, BT) score
+        # block: s_e = qs_e.x - 4 qs_e.c_o + zq_e, s_o = qs_o.c_o + zq_o
+        # become two stacked dots with zero-padded query rows
+        #   [qs_e; 0].x  +  [-4 qs_e; qs_o].c_o
+        # — 2 MXU passes per pair instead of 3 — and the softmax/V updates
+        # run once per pair on (2Q, BT)/(2Q, D) rows (the row halves carry
+        # the even/odd head; per-token V work selects halves with a row
+        # mask instead of slicing).
+        dot_s = lambda a, b: jax.lax.dot_general(
+            a.astype(ct), b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dot_p = lambda a, b: jax.lax.dot_general(
+            a.astype(ct), b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if paired:
+            rowh = jax.lax.broadcasted_iota(jnp.int32, (2 * Q, 1), 0) >= Q
+        for jj in (range(hg // 2) if paired else ()):
+            he = g * hg + 2 * jj
+            pair = g * (hg // 2) + jj
             xk = kp_ref[0, 0, jj].astype(jnp.float32)   # (BT, D) in [-8, 7]
             ck_o = jnp.floor(xk * 0.25 + 2.0)           # odd head's codes
             xv = vp_ref[0, 0, jj].astype(jnp.float32)
             cv_o = jnp.floor(xv * 0.25 + 2.0)
             xk_d, ck_o_d = xk.astype(ct), ck_o.astype(ct)
             xv_d, cv_o_d = xv.astype(ct), cv_o.astype(ct)
-            dot_s = lambda a, b: jax.lax.dot_general(
-                a.astype(ct), b, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+
+            q_e, q_o = c_q(he), c_q(he + 1)
+            qs_e = q_e * c_krng(he)
+            qs_o = q_o * c_krng(he + 1)
+            qx = jnp.concatenate([qs_e, jnp.zeros_like(qs_o)], axis=0)
+            qc = jnp.concatenate([-4.0 * qs_e, qs_o], axis=0)  # (2Q, D)
+            zq2 = jnp.concatenate([
+                jnp.sum(q_e * c_koff(he) + 8.0 * qs_e, 1, keepdims=True),
+                jnp.sum(q_o * c_koff(he + 1), 1, keepdims=True),
+            ], axis=0)  # (2Q, 1)
+            s2 = dot_s(qx, xk_d) + dot_s(qc, ck_o_d) + zq2
+            if k_channels:
+                qsel2 = jnp.concatenate([
+                    jax.lax.dot_general(
+                        q_e.astype(ct), c_sel(he).astype(ct),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(
+                        q_o.astype(ct), c_sel(he + 1).astype(ct),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32),
+                ], axis=0)  # (2Q, nsel)
+                s2 += jax.lax.dot_general(
+                    qsel2.astype(ct), Rk.astype(ct),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif k_slots:
+                q2 = jnp.concatenate([q_e, q_o], axis=0)
+                qe2 = dot_s(q2, Ek.astype(ct))  # (2Q, Jk*BT)
+                tgt = 2 * jj + rowh.astype(jnp.int32)  # head-in-group id
+                for s in range(Jk):
+                    s2 += jnp.where(
+                        kheads[s] == tgt, qe2[:, s * BT:(s + 1) * BT], 0.0
+                    )
+            s2 = s2 * inv + mask_ref[...]  # (2Q, BT) mask in paired mode
+
+            # one online-softmax update for the pair
+            m_old = m_ref[pair][:, :1]
+            m_new = jnp.maximum(m_old, jnp.max(s2, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p2 = jnp.exp(s2 - m_new)
+            l_new = l_ref[pair][:, :1] * alpha + jnp.sum(
+                p2, axis=-1, keepdims=True
             )
-            dot_p = lambda a, b: jax.lax.dot_general(
-                a.astype(ct), b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            m_ref[pair] = jnp.broadcast_to(m_new, (2 * Q, 128))
+            l_ref[pair] = jnp.broadcast_to(l_new, (2 * Q, 128))
+
+            # V: row-masked halves contract against the pair tiles —
+            #   pv_e = ps_e.x - 4 ps_e.c_o + 8*rowsum(ps_e)
+            #   pv_o = ps_o.c_o
+            ps2 = p2 * vsc_eff
+            ps_x = jnp.where(rowh, 0.0, ps2)
+            ps_c = jnp.where(rowh, ps2, -4.0 * ps2)
+            pv2 = dot_p(ps_x, xv_d) + dot_p(ps_c, cv_o_d)
+            pv2 = pv2 + 8.0 * jnp.sum(ps_x, axis=-1, keepdims=True)
+            pv2 = pv2 + jnp.sum(p2 * voff_eff, axis=-1, keepdims=True)
+            if v_sparse:
+                tgtv = 2 * jj + rowh.astype(jnp.int32)
+                for s in range(Jv):
+                    pv2 += dot_p(
+                        jnp.where(vheads[s] == tgtv, p2, 0.0), ev[s].astype(ct)
+                    )
+            old2 = out_ref[0, pl.ds(he, 2)]  # (2, Q, D)
+            out_ref[0, pl.ds(he, 2)] = (
+                old2 * alpha.reshape(2, Q, 1) + pv2.reshape(2, Q, D)
             )
+
+        for jj in (range(hg // 2) if codes == "int4x2" and not paired else ()):
+            xk = kp_ref[0, 0, jj].astype(jnp.float32)   # (BT, D) in [-8, 7]
+            ck_o = jnp.floor(xk * 0.25 + 2.0)           # odd head's codes
+            xv = vp_ref[0, 0, jj].astype(jnp.float32)
+            cv_o = jnp.floor(xv * 0.25 + 2.0)
+            xk_d, ck_o_d = xk.astype(ct), ck_o.astype(ct)
+            xv_d, cv_o_d = xv.astype(ct), cv_o.astype(ct)
             for which in range(2):
                 j = 2 * jj + which
                 h = g * hg + j
                 q = c_q(h)  # (Q, D)
 
-                if post_k:
-                    qs_f = q * c_krng(h)
-                    if which == 0:
-                        zq = jnp.sum(q * c_koff(h) + 8.0 * qs_f,
-                                     axis=1, keepdims=True)
-                        s_blk = dot_s(qs_f, xk_d) - 4.0 * dot_s(qs_f, ck_o_d)
-                    else:
-                        zq = jnp.sum(q * c_koff(h), axis=1,
-                                     keepdims=True)
-                        s_blk = dot_s(qs_f, ck_o_d)
-                    s_blk = s_blk + zq
-                    if k_channels:
-                        qsel = jax.lax.dot_general(
-                            q.astype(ct), c_sel(h).astype(ct),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        s_blk += jax.lax.dot_general(
-                            qsel.astype(ct), Rk.astype(ct),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    elif k_slots:
-                        qe = dot_s(q, Ek.astype(ct))
-                        for s in range(Jk):
-                            s_blk += jnp.where(
-                                kheads[s] == j,
-                                qe[:, s * BT:(s + 1) * BT], 0.0,
-                            )
-                    s_blk = s_blk * inv + mask_ref[...]
-                else:
-                    # pre-RoPE storage: materialize this head's codes (one
-                    # extra fma for the even head), dequant, rotate
-                    ck = (xk - 4.0 * ck_o + 8.0) if which == 0 else ck_o
-                    kd = ck * c_krng(h) + c_koff(h)
-                    if k_channels:
-                        kd += jax.lax.dot_general(
-                            Rk.astype(ct), c_sel(h).astype(ct),
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    k_rot = jnp.concatenate(
-                        [-kd[:, half:], kd[:, :half]], axis=1
+                # pre-RoPE storage: materialize this head's codes (one
+                # extra fma for the even head), dequant, rotate
+                ck = (xk - 4.0 * ck_o + 8.0) if which == 0 else ck_o
+                kd = ck * c_krng(h) + c_koff(h)
+                if k_channels:
+                    kd += jax.lax.dot_general(
+                        Rk.astype(ct), c_sel(h).astype(ct),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
                     )
-                    kx = kd * cos + k_rot * sin
-                    s_blk = dot_s(q, kx.astype(ct))
-                    if k_slots:
-                        rotq = jnp.concatenate(
-                            [q[:, half:], -q[:, :half]], axis=1
+                k_rot = jnp.concatenate(
+                    [-kd[:, half:], kd[:, :half]], axis=1
+                )
+                kx = kd * cos + k_rot * sin
+                s_blk = dot_s(q, kx.astype(ct))
+                if k_slots:
+                    rotq = jnp.concatenate(
+                        [q[:, half:], -q[:, :half]], axis=1
+                    )
+                    qe = dot_s(q, Ekc.astype(ct)) + dot_s(
+                        rotq, Eks.astype(ct))
+                    for s in range(Jk):
+                        s_blk += jnp.where(
+                            kheads[s] == j,
+                            qe[:, s * BT:(s + 1) * BT], 0.0,
                         )
-                        qe = dot_s(q, Ekc.astype(ct)) + dot_s(
-                            rotq, Eks.astype(ct))
-                        for s in range(Jk):
-                            s_blk += jnp.where(
-                                kheads[s] == j,
-                                qe[:, s * BT:(s + 1) * BT], 0.0,
-                            )
-                    s_blk = s_blk * inv + mask_ref[...]
+                s_blk = s_blk * inv + mask_ref[...]
 
                 # online softmax update
                 m_old = m_ref[h][:, :1]
@@ -610,9 +780,16 @@ def _flash_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Tq, Hkv, theta,
 
     @pl.when(t == nt - 1)
     def _():
-        for j in range(hg):
-            h = g * hg + j
-            out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
+        if paired:
+            for jj in range(hg // 2):
+                he = g * hg + 2 * jj
+                pair = g * (hg // 2) + jj
+                l2 = l_ref[pair][:, :1].reshape(2, Q, 1)
+                out_ref[0, pl.ds(he, 2)] = out_ref[0, pl.ds(he, 2)] / l2
+        else:
+            for j in range(hg):
+                h = g * hg + j
+                out_ref[0, h] = out_ref[0, h] / l_ref[h][:, :1]
 
 
 def flash_attention(
@@ -652,14 +829,7 @@ def flash_attention(
     assert Q % Tq == 0
     bits = dcfg.bits
     L = k_planes.shape[0]
-    if dcfg.codes == "nuq":
-        Tc = k_planes.shape[-2] * 32
-        vab = jnp.zeros((L, 2), jnp.float32)  # unread in nuq mode
-    else:
-        Tc = k_planes.shape[-2]
-        k_range, k_offset, vab = fold_affine(
-            dcfg, k_lut, v_lut, k_range, k_offset
-        )
+    Tc = k_planes.shape[-2] * (32 if dcfg.codes == "nuq" else 1)
     BT = _pick_bt(Tc, block_tokens)
     # all heads' code blocks ride in one grid step now: shrink BT until the
     # double-buffered VMEM estimate fits the ~16MB budget with headroom
@@ -669,9 +839,22 @@ def flash_attention(
         "int4": hgb * D // 2, "int4x2": hgb * D // 4, "int8": hgb * D,
     }[dcfg.codes]  # per token per group block
 
+    J = kv_out.shape[-2]
+    sparse = bool(dcfg.include_sparse)
+    # stream only the LIVE outlier rows: under an outlier cap (or channels
+    # mode with few static channels) the trailing rows of the 8-padded
+    # (J, Tc) tile are structurally zero — a (J_rd < 8)-sublane block halves
+    # the outlier DMA traffic in the cap0 speed configs (VERDICT r2 weak #3)
+    if sparse:
+        jv_live = min(J - dcfg.slots_per_kind, 2 * dcfg.cap_per_side)
+        J_rd = max(1, dcfg.slots_per_kind + max(jv_live, 0))
+    else:
+        J_rd = min(J, 1)  # never read by the kernel
+    J_rd = min(J, J_rd)
+
     def vmem_est(bt):
         cs_b = 0 if dcfg.post_rope_k else 2 * D * 4
-        per_bt = 2 * code_bytes * 2 + kv_out.shape[-2] * 4 * 2 + (
+        per_bt = 2 * code_bytes * 2 + J_rd * 4 * 2 + (
             cs_b + Q * 4 + 2 * 4 * 2
         )
         return bt * per_bt + Hkv * Q * (2 * 128 + 2 * D) * 4
@@ -680,74 +863,20 @@ def flash_attention(
         BT //= 2
     nt = Tc // BT
     S = dcfg.sink
-    J = kv_out.shape[-2]
-    sparse = bool(dcfg.include_sparse)
-    K = 2 ** bits
     li = jnp.asarray(li, jnp.int32)
-
     hg = dcfg.head_group
-    if sparse and dcfg.k_outliers == "channels":
-        from ...cache import k_channel_onehot
 
-        assert k_ressc is not None, "channels mode needs k_ressc"
-        k_sel = k_channel_onehot(k_ressc, dcfg)  # (L, G, n_kc, hg*D)
-        nsel = k_sel.shape[2]
-        # per-HEAD selection rows (L, Hkv, nsel, D) — band rows per head
-        k_sel_rows = (
-            k_sel.reshape(L, Hkv // hg, nsel, hg, D)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(L, Hkv, nsel, D)
-        )
-    else:
-        nsel = 0
-        k_sel_rows = None
-
-    # ---- pack the per-call constants operand (B, Hkv, RH, D): one row
-    # BAND per head (q | krng | koff | ksink | vsink | sel | luts) ----
-    def bcast_h(a):  # (Hkv, rows, D) -> (B, Hkv, rows, D)
-        return jnp.broadcast_to(a[None], (B,) + a.shape)
-
-    parts = [q_rot.astype(jnp.float32)]
-    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
-        k_range.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
-    parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
-        k_offset.astype(jnp.float32), li, 0, keepdims=False)[:, None]))
-    if S > 0:
-        parts.append(jax.lax.dynamic_index_in_dim(
-            k_sink.astype(jnp.float32), li, 0, keepdims=False))
-        parts.append(jax.lax.dynamic_index_in_dim(
-            v_sink.astype(jnp.float32), li, 0, keepdims=False))
-    if nsel:
-        parts.append(bcast_h(jax.lax.dynamic_index_in_dim(
-            k_sel_rows, li, 0, keepdims=False)))
-    # LUT/vab scalars ride as trailing band rows, replicated per head (an
-    # SMEM input stream measurably trips the same pipeline cliff as a 7th
-    # operand). Each codebook spans ceil(K / D) rows — entry i lives at
-    # (row i // D, lane i % D) — then one [va, vb] row.
-    n_lr = -(-K // D)
-
-    def lut_chunks(lut):
-        padded = jnp.pad(lut.astype(jnp.float32), ((0, 0), (0, n_lr * D - K)))
-        return padded.reshape(L, n_lr, D)
-
-    lut_rows = jnp.concatenate(
-        [lut_chunks(k_lut), lut_chunks(v_lut),
-         jnp.pad(vab, ((0, 0), (0, D - 2)))[:, None, :]],
-        axis=1,
-    )  # (L, 2*n_lr + 1, D)
-    lut_l = jax.lax.dynamic_index_in_dim(lut_rows, li, 0, keepdims=False)
-    parts.append(jnp.broadcast_to(
-        lut_l[None, None], (B, Hkv) + lut_l.shape
-    ))
-    cst = jnp.concatenate(parts, axis=2)
+    cst, nsel = prep_constants(
+        q_rot, k_range, k_offset, k_sink, v_sink, k_lut, v_lut, li, dcfg,
+        k_ressc=k_ressc,
+    )
     RH = cst.shape[2]
-
 
     kern = functools.partial(
         _flash_kernel, bits=bits, D=D, BT=BT, S=S, Q=Q, Tq=Tq, Hkv=Hkv,
         theta=mcfg.rope_theta, scaling=mcfg.rope_scaling,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
-        J=J, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
+        J=J_rd, dot_bf16=dcfg.dot_bf16, nt=nt, hg=hg, codes=dcfg.codes,
         post_k=dcfg.post_rope_k, n_live=2 * dcfg.cap_per_side,
         k_mode=dcfg.k_outliers, n_live_v=2 * dcfg.cap_per_side, nsel=nsel,
     )
@@ -804,7 +933,7 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             code_spec(),
             code_spec(),
-            pl.BlockSpec((1, 1, 1, J, BT),
+            pl.BlockSpec((1, 1, 1, J_rd, BT),
                          imt(lambda li, b, t, g: (li, b, g, 0, t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT),
@@ -819,15 +948,26 @@ def flash_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # m
-            pltpu.VMEM((Hkv, Q, 128), jnp.float32),  # l
+            # paired mode (int4x2 + post-RoPE) lays m/l out per PAIR with
+            # 2Q stacked rows, and doubles the mask rows to (2Q, BT) —
+            # the kernel's one-softmax-per-pair update
+            pltpu.VMEM(
+                (Hkv // 2, 2 * Q, 128) if _PAIRED(dcfg) else (Hkv, Q, 128),
+                jnp.float32,
+            ),  # m
+            pltpu.VMEM(
+                (Hkv // 2, 2 * Q, 128) if _PAIRED(dcfg) else (Hkv, Q, 128),
+                jnp.float32,
+            ),  # l
             # cos/sin tiles: unused under post-RoPE storage — minimal
             # allocation there frees ~2*BT*D*4 bytes of VMEM for bigger
             # token blocks
             pltpu.VMEM(
                 (2, 8 if dcfg.post_rope_k else BT, D), jnp.float32
             ),
-            pltpu.VMEM((Q, BT), jnp.float32),        # additive mask
+            pltpu.VMEM(
+                (2 * Q if _PAIRED(dcfg) else Q, BT), jnp.float32
+            ),  # additive mask
         ],
     )
 
