@@ -109,7 +109,7 @@ def decode_step(
     from .models.moe import MoEConfig, split_qkv, moe_ffn
 
     check_intn_codebook(dcfg, dq)
-    if dcfg.kernel == "flash":
+    if dcfg.kernel in ("flash", "flash_serial"):
         return _decode_step_flash(params, cfg, dcfg, dq, cache, token, pos)
 
     is_moe = isinstance(cfg, MoEConfig)
@@ -194,7 +194,10 @@ def _decode_step_flash(
     """
     from .models.moe import MoEConfig, split_qkv, moe_ffn
     from .ops.pallas.flash_decode import flash_decode
+    from .ops.pallas.flash_serial import flash_serial_decode
 
+    attn_fn = (flash_serial_decode if dcfg.kernel == "flash_serial"
+               else flash_decode)
     is_moe = isinstance(cfg, MoEConfig)
     B = token.shape[0]
     H, Dh = cfg.n_heads, cfg.d_head
@@ -231,7 +234,7 @@ def _decode_step_flash(
         q_rot = q_h * cos[:, None, None] + (
             llama.rotate_half(q_h) * sin[:, None, None]
         )
-        attn = flash_decode(
+        attn = attn_fn(
             q_rot, arrs["k_planes"], arrs["v_planes"], arrs["kv_out"],
             dq.k_range, dq.k_offset, arrs["v_scale"], arrs["v_offset"],
             arrs["k_sink"], arrs["v_sink"], dq.k_lut_dec, dq.v_lut_dec,

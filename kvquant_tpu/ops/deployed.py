@@ -549,19 +549,59 @@ def append_token_flash(
             )
         return out
 
+    # Per-b positions (serving slot pools): SEQUENTIAL predicated row
+    # writes, one dynamic_update_slice chain per array. The earlier vmapped
+    # form lowered to an XLA scatter that copies the FULL plane arrays
+    # every layer (measured 14.6 ms/layer of pure copies at B=4/32K —
+    # NOTES_ROUND2 item #3); a chain of B plain DUS ops aliases in place,
+    # exactly like paged.paged_append (two slots never write the same row,
+    # so order is irrelevant).
+    from .packing import token_word_bit
+
+    bits = dcfg.bits
+
     def put_planes(planes, codes):
-        if dcfg.codes == "nuq":
-            write = lambda pl_b, c_b, p_b, pr_b: set_token_codes_at_layer(
-                pl_b, c_b, li, p_b, pr_b
-            )
-        else:
+        if dcfg.codes != "nuq":
             codes = _encode_rows(codes, dcfg)
-            write = lambda pl_b, c_b, p_b, pr_b: set_token_rows_at_layer(
-                pl_b, c_b, li, p_b, pr_b
+
+        def one(i, pl_):
+            if dcfg.codes == "nuq":
+                H_ = pl_.shape[2]
+                w, jbit = token_word_bit(p[i])
+                jbit = jnp.asarray(jbit, jnp.uint32)
+                old = jax.lax.dynamic_slice(
+                    pl_, (li, i, 0, 0, w, 0),
+                    (1, 1, H_, bits, 1, pl_.shape[-1]),
+                )
+                rowdata = old.astype(jnp.uint32)
+                shifts = jnp.arange(bits, dtype=jnp.uint32).reshape(
+                    1, 1, 1, bits, 1, 1
+                )
+                bitvals = (
+                    (codes[i].astype(jnp.uint32)[None, None, :, None, None, :]
+                     >> shifts) & 1
+                ) << jbit
+                new = ((rowdata & ~(jnp.uint32(1) << jbit)) | bitvals).astype(
+                    pl_.dtype
+                )
+                new = jnp.where(not_sink[i], new, old)
+                return jax.lax.dynamic_update_slice(
+                    pl_, new, (li, i, 0, 0, w, 0)
+                )
+            old = jax.lax.dynamic_slice(
+                pl_, (li, i, 0, p[i], 0),
+                (1, 1, pl_.shape[2], 1, pl_.shape[-1]),
             )
-        return jax.vmap(write, in_axes=(1, 0, 0, 0), out_axes=1)(
-            planes, codes, p, not_sink
-        )
+            new = codes[i][None, None, :, None, :].astype(pl_.dtype)
+            new = jnp.where(not_sink[i], new, old)
+            return jax.lax.dynamic_update_slice(
+                pl_, new, (li, i, 0, p[i], 0)
+            )
+
+        out_p = planes
+        for i in range(B):
+            out_p = one(i, out_p)
+        return out_p
 
     out = dict(arrs)
     out["k_planes"] = put_planes(arrs["k_planes"], codes_k)
@@ -573,34 +613,32 @@ def append_token_flash(
         def put_out(arr, words, row0):
             n = words.shape[-1]
             Gp = arr.shape[2]
-
-            def one(a_b, w_b, p_b, pr_b):  # a_b (L, n_groups, J, Tc)
+            o = arr
+            for i in range(B):
                 old = jax.lax.dynamic_slice(
-                    a_b, (li, 0, row0, p_b), (1, Gp, n, 1)
+                    o, (li, i, 0, row0, p[i]), (1, 1, Gp, n, 1)
                 )
                 new = jnp.where(
-                    pr_b, w_b[None, :, :, None].astype(a_b.dtype), old
+                    not_sink[i],
+                    words[i][None, None, :, :, None].astype(o.dtype), old,
                 )
-                return jax.lax.dynamic_update_slice(
-                    a_b, new, (li, 0, row0, p_b)
+                o = jax.lax.dynamic_update_slice(
+                    o, new, (li, i, 0, row0, p[i])
                 )
-
-            return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
-                arr, words, p, not_sink
-            )
+            return o
 
         kv = put_out(arrs["kv_out"], k_words, 0)
         out["kv_out"] = kv if v_words is None else put_out(kv, v_words, spk)
 
     def put_scalar(arr, val):
-        def one(a_b, s_b, p_b, pr_b):  # a_b (L, Tc)
-            old = jax.lax.dynamic_slice(a_b, (li, p_b), (1, 1))
-            new = jnp.where(pr_b, s_b.reshape(1, 1).astype(a_b.dtype), old)
-            return jax.lax.dynamic_update_slice(a_b, new, (li, p_b))
-
-        return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
-            arr, val, p, not_sink
-        )
+        o = arr
+        for i in range(B):
+            old = jax.lax.dynamic_slice(o, (li, i, p[i]), (1, 1, 1))
+            new = jnp.where(
+                not_sink[i], val[i].reshape(1, 1, 1).astype(o.dtype), old
+            )
+            o = jax.lax.dynamic_update_slice(o, new, (li, i, p[i]))
+        return o
 
     out["v_scale"] = put_scalar(arrs["v_scale"], v_sc)
     out["v_offset"] = put_scalar(arrs["v_offset"], v_off)
@@ -610,18 +648,18 @@ def append_token_flash(
         ps = jnp.clip(pos, 0, S - 1)
 
         def put_sink(arr, rows):
-            def one(a_b, r_b, q_b, pr_b):  # a_b (L, Hkv, S, D)
+            o = arr
+            for i in range(B):
                 old = jax.lax.dynamic_slice(
-                    a_b, (li, 0, q_b, 0), (1, Hkv, 1, Dh)
+                    o, (li, i, 0, ps[i], 0), (1, 1, Hkv, 1, Dh)
                 )
-                new = jnp.where(pr_b, r_b[None, :, None, :], old)
-                return jax.lax.dynamic_update_slice(
-                    a_b, new, (li, 0, q_b, 0)
+                new = jnp.where(
+                    in_sink[i], rows[i][None, None, :, None, :], old
                 )
-
-            return jax.vmap(one, in_axes=(1, 0, 0, 0), out_axes=1)(
-                arr, rows, ps, in_sink
-            )
+                o = jax.lax.dynamic_update_slice(
+                    o, new, (li, i, 0, ps[i], 0)
+                )
+            return o
 
         out["k_sink"] = put_sink(arrs["k_sink"], k_roped)
         out["v_sink"] = put_sink(arrs["v_sink"], v_h)
@@ -805,10 +843,13 @@ def block_attention(
     q_rot = q_rot.transpose(0, 2, 3, 1, 4)  # (B,Hkv,G,Tq_all,Dh)
     inv = 1.0 / (Dh**0.5)
 
-    if dcfg.kernel == "flash":
+    if dcfg.kernel in ("flash", "flash_serial"):
         # blockwise online-softmax kernel: per-row causal masking happens
         # in-kernel and nothing of O(Tq x Tc) ever materializes — this is
-        # what makes quantized chunked prefill viable at >=256K prompts
+        # what makes quantized chunked prefill viable at >=256K prompts.
+        # (flash_serial is a DECODE-step kernel; its prefill blocks run
+        # through the pipelined flash kernel, which overlaps fine there —
+        # prefill grid steps are compute-dense.)
         from .pallas.flash_decode import flash_attention
 
         qf = q_rot.reshape(B, Hkv, G * Tq_all, Dh)

@@ -1,0 +1,384 @@
+"""Manual-DMA flash-decode kernel: the serial-latency path.
+
+The pipelined kernel (ops/pallas/flash_decode.py) reaches ~1 ms/layer at
+512K only when ~30 consecutive calls' operands are independent — the
+Mosaic grid pipeline does NOT overlap a grid step's DMA with its own
+call's compute on v5e, and real decode is layer-serial (layer n+1's
+queries depend on layer n's output), so per-call DMA and compute ADD
+(NOTES_ROUND3 "serial-latency wall": 1.05 ms overlapped vs ~5 ms
+in-context at 512K).
+
+This kernel owns its pipeline instead: the big cache operands stay in HBM
+(`pl.ANY`), and the kernel double-buffers explicit `pltpu.make_async_copy`
+per token block — issue block t+1's five copies, THEN compute block t, so
+the next block's DMA always runs under the current block's compute inside
+ONE kernel invocation. That makes the serial per-call cost max(DMA,
+compute) + one block's latency, independent of neighbouring calls.
+
+Scope: the DEPLOYED decode step (Tq == 1) on the speed storage modes —
+post-RoPE K, hardware intN containers (int4 / int8 / int4x2-paired).
+General prefill (Tq > 1), pre-RoPE rotation, and nuq bit-plane codes stay
+on the pipelined kernel (they are either overlap-friendly prefill or
+legacy-parity paths). Selected via DeployConfig.kernel = "flash_serial".
+
+Reference scope mirrored: the fused CUDA decode launches
+(quant_cuda_kernel.cu:3040+), like flash_decode.py — same math, different
+pipeline ownership.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _pick_bt, _interpret
+from .flash_decode import prep_constants, _outlier_e_slots, NEG
+
+NB = 2  # DMA buffer slots
+
+
+def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
+                   sparse, spk, J_rd, dot_bf16, hg, codes, n_live, n_live_v,
+                   k_mode, nsel):
+    (cst_ref, kp_hbm, vp_hbm, ow_hbm, vs_hbm, vo_hbm, out_ref,
+     kbuf, vbuf, obuf, sbuf, sems) = refs
+    paired = codes == "int4x2"
+    HPg = hg // 2 if paired else hg
+    npair = hg // 2 if paired else hg
+    Qm = 2 * Q if paired else Q
+    k_channels = sparse and k_mode == "channels"
+    k_slots = sparse and k_mode == "slots" and n_live > 0
+    v_sparse = sparse and n_live_v > 0
+    Jk = min(spk, n_live) if k_slots else 0
+    Jv = min(J_rd - spk, n_live_v) if v_sparse else 0
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    li = li_ref[0]
+    pos = pos_ref[b]
+    inv = 1.0 / (D ** 0.5)
+    ct = jnp.bfloat16 if dot_bf16 else jnp.float32
+
+    # band offsets in cst (1, Hkv, RH, D) — same layout as flash_decode
+    OFF_Q = 0
+    OFF_KR = OFF_Q + Q
+    OFF_KO = OFF_KR + 1
+    OFF_KS = OFF_KO + 1
+    OFF_VS = OFF_KS + S
+    OFF_SEL = OFF_VS + S
+    n_lr = -(-(2 ** bits) // D)  # band rows per codebook
+    OFF_LUT = OFF_SEL + nsel
+
+    def band(h):
+        return cst_ref[0, h]  # (RH, D)
+
+    def c_q(h):
+        return band(h)[OFF_Q:OFF_Q + Q]
+
+    def c_krng(h):
+        return band(h)[OFF_KR:OFF_KR + 1]
+
+    def c_koff(h):
+        return band(h)[OFF_KO:OFF_KO + 1]
+
+    def c_sel(h):
+        return band(h)[OFF_SEL:OFF_SEL + nsel]
+
+    # live packed blocks this step attends to
+    nt_live = jnp.maximum((pos - S) // BT + 1, 0)
+
+    def dmas(slot, t):
+        return (
+            pltpu.make_async_copy(
+                kp_hbm.at[li, b, pl.ds(g * HPg, HPg), pl.ds(t * BT, BT), :],
+                kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                vp_hbm.at[li, b, pl.ds(g * HPg, HPg), pl.ds(t * BT, BT), :],
+                vbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                ow_hbm.at[li, b, g, pl.ds(0, J_rd), pl.ds(t * BT, BT)],
+                obuf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                vs_hbm.at[li, b, pl.ds(t * BT, BT)],
+                sbuf.at[slot, 0], sems.at[slot, 3]),
+            pltpu.make_async_copy(
+                vo_hbm.at[li, b, pl.ds(t * BT, BT)],
+                sbuf.at[slot, 1], sems.at[slot, 4]),
+        )
+
+    def start_all(slot, t):
+        for d in dmas(slot, t):
+            d.start()
+
+    def wait_all(slot, t):
+        for d in dmas(slot, t):
+            d.wait()
+
+    @pl.when(nt_live > 0)
+    def _():
+        start_all(0, 0)
+
+    # ---- sink-prefix init (register state) ----
+    def sink_init(h):
+        q = c_q(h)
+        if S > 0:
+            ks = band(h)[OFF_KS:OFF_KS + S]
+            ss = jax.lax.dot_general(
+                q.astype(ct), ks.astype(ct), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv  # (Q, S)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+            svalid = sidx <= pos
+            if window is not None:
+                svalid &= sidx > pos - window
+            ss = jnp.where(svalid, ss, NEG)
+            m0 = jnp.max(ss, axis=-1, keepdims=True)
+            p0 = jnp.where(svalid, jnp.exp(ss - m0), 0.0)
+            l0 = jnp.sum(p0, axis=-1, keepdims=True)
+            acc0 = jax.lax.dot_general(
+                p0.astype(ct), band(h)[OFF_VS:OFF_VS + S].astype(ct),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m0 = jnp.full((Q, 1), NEG, jnp.float32)
+            l0 = jnp.zeros((Q, 1), jnp.float32)
+            acc0 = jnp.zeros((Q, D), jnp.float32)
+        return m0, l0, acc0
+
+    state = []
+    for u in range(npair):
+        if paired:
+            me, le, ae = sink_init(g * hg + 2 * u)
+            mo, lo, ao = sink_init(g * hg + 2 * u + 1)
+            state += [jnp.concatenate([me, mo], 0),
+                      jnp.concatenate([le, lo], 0),
+                      jnp.concatenate([ae, ao], 0)]
+        else:
+            state += list(sink_init(g * hg + u))
+
+    if paired:
+        rowh = jax.lax.broadcasted_iota(jnp.int32, (Qm, 1), 0) >= Q
+
+    def body(t, carry):
+        state = list(carry)
+        slot = jax.lax.rem(t, NB)
+
+        @pl.when(t + 1 < nt_live)
+        def _():
+            start_all(jax.lax.rem(t + 1, NB), t + 1)
+
+        wait_all(slot, t)
+
+        # additive validity mask for this block (decode: all rows at pos)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (Qm, BT), 1) + t * BT
+        valid = idx <= pos - S
+        if window is not None:
+            valid &= (idx + S) > pos - window
+        mask = jnp.where(valid, 0.0, NEG)
+
+        bd0 = band(0)
+        va = bd0[OFF_LUT + 2 * n_lr, 0]
+        vb = bd0[OFF_LUT + 2 * n_lr, 1]
+        vs_row = sbuf[slot, 0:1]  # (1, BT)
+        vo_row = sbuf[slot, 1:2]
+        vsc_eff = vs_row * vb
+        voff_eff = vs_row * va + vo_row
+
+        if k_channels:
+            Rk = obuf[slot, :spk]  # (n_kc, BT)
+        elif k_slots:
+            ek, kheads = _outlier_e_slots(obuf[slot, :spk], D, BT, Jk)
+            Ek = jnp.concatenate(ek, axis=0) if Jk > 1 else ek[0]
+        if v_sparse:
+            ev, vheads = _outlier_e_slots(obuf[slot, spk:], D, BT, Jv)
+
+        dot_s = lambda a, c_: jax.lax.dot_general(
+            a.astype(ct), c_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dot_p = lambda a, c_: jax.lax.dot_general(
+            a.astype(ct), c_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        for u in range(npair):
+            m_old, l_old, acc = state[3 * u:3 * u + 3]
+            if paired:
+                he = g * hg + 2 * u
+                xk = kbuf[slot, u].astype(jnp.float32)
+                ck_o = jnp.floor(xk * 0.25 + 2.0)
+                xv = vbuf[slot, u].astype(jnp.float32)
+                cv_o = jnp.floor(xv * 0.25 + 2.0)
+                xk_d, ck_o_d = xk.astype(ct), ck_o.astype(ct)
+                xv_d, cv_o_d = xv.astype(ct), cv_o.astype(ct)
+                q_e, q_o = c_q(he), c_q(he + 1)
+                qs_e = q_e * c_krng(he)
+                qs_o = q_o * c_krng(he + 1)
+                qx = jnp.concatenate([qs_e, jnp.zeros_like(qs_o)], axis=0)
+                qc = jnp.concatenate([-4.0 * qs_e, qs_o], axis=0)
+                zq2 = jnp.concatenate([
+                    jnp.sum(q_e * c_koff(he) + 8.0 * qs_e, 1, keepdims=True),
+                    jnp.sum(q_o * c_koff(he + 1), 1, keepdims=True),
+                ], axis=0)
+                s2 = dot_s(qx, xk_d) + dot_s(qc, ck_o_d) + zq2
+                if k_channels:
+                    qsel2 = jnp.concatenate([
+                        dot_s(q_e, c_sel(he).astype(ct)),
+                        dot_s(q_o, c_sel(he + 1).astype(ct)),
+                    ], axis=0)
+                    s2 += dot_p(qsel2, Rk.astype(ct))
+                elif k_slots:
+                    q2 = jnp.concatenate([q_e, q_o], axis=0)
+                    qe2 = dot_s(q2, Ek.astype(ct))
+                    tgt = 2 * u + rowh.astype(jnp.int32)
+                    for s in range(Jk):
+                        s2 += jnp.where(
+                            kheads[s] == tgt,
+                            qe2[:, s * BT:(s + 1) * BT], 0.0,
+                        )
+                s2 = s2 * inv + mask
+            else:
+                h = g * hg + u
+                q = c_q(h)
+                qs_f = q * c_krng(h)
+                zq = jnp.sum(q * c_koff(h), axis=1, keepdims=True)
+                kc = kbuf[slot, u].astype(ct)
+                s2 = dot_s(qs_f, kc)
+                if k_channels:
+                    qsel = dot_s(q, c_sel(h).astype(ct))
+                    s2 += dot_p(qsel, Rk.astype(ct))
+                elif k_slots:
+                    qe = dot_s(q, Ek.astype(ct))
+                    for s in range(Jk):
+                        s2 += jnp.where(
+                            kheads[s] == u, qe[:, s * BT:(s + 1) * BT], 0.0
+                        )
+                s2 = (s2 + zq) * inv + mask
+
+            m_new = jnp.maximum(m_old, jnp.max(s2, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p2 = jnp.exp(s2 - m_new)
+            l_new = l_old * alpha + jnp.sum(p2, axis=-1, keepdims=True)
+
+            ps2 = p2 * vsc_eff
+            if paired:
+                ps_x = jnp.where(rowh, 0.0, ps2)
+                ps_c = jnp.where(rowh, ps2, -4.0 * ps2)
+                pv = dot_p(ps_x, xv_d) + dot_p(ps_c, cv_o_d)
+                pv = pv + 8.0 * jnp.sum(ps_x, axis=-1, keepdims=True)
+            else:
+                vd = vbuf[slot, u].astype(ct)
+                pv = dot_p(ps2, vd)
+            pv = pv + jnp.sum(p2 * voff_eff, axis=-1, keepdims=True)
+            if v_sparse:
+                tgtv = (2 * u + rowh.astype(jnp.int32)) if paired else u
+                for s in range(Jv):
+                    pv += dot_p(
+                        jnp.where(vheads[s] == tgtv, p2, 0.0),
+                        ev[s].astype(ct),
+                    )
+            state[3 * u:3 * u + 3] = [m_new, l_new, acc * alpha + pv]
+        return tuple(state)
+
+    state = jax.lax.fori_loop(0, nt_live, body, tuple(state))
+
+    for u in range(npair):
+        _, l_fin, acc = state[3 * u:3 * u + 3]
+        vals = acc / l_fin  # (Qm, D)
+        if paired:
+            out_ref[0, 2 * u:2 * u + 2] = vals.reshape(2, Q, D)
+        else:
+            out_ref[0, u] = vals
+
+
+def flash_serial_decode(
+    q_rot, k_planes, v_planes, kv_out, k_range, k_offset, v_scale, v_offset,
+    k_sink, v_sink, k_lut, v_lut, li, pos, dcfg, mcfg,
+    block_tokens: int = 2048, k_ressc=None,
+):
+    """Decode-step attention (Tq=1) with a kernel-owned double-buffered DMA
+    pipeline. Same contract as flash_decode.flash_decode. Requires
+    post-RoPE intN storage (the deployed speed modes)."""
+    assert dcfg.codes in ("int4", "int8", "int4x2"), (
+        "flash_serial supports hardware intN containers only")
+    assert dcfg.post_rope_k, "flash_serial requires post-RoPE K storage"
+    B, Hkv, Q, D = q_rot.shape
+    L = k_planes.shape[0]
+    Tc = k_planes.shape[-2]
+    BT = _pick_bt(Tc, block_tokens)
+    S = dcfg.sink
+    hg = dcfg.head_group
+    sparse = bool(dcfg.include_sparse)
+    J = kv_out.shape[-2]
+    if sparse:
+        jv_live = min(J - dcfg.slots_per_kind, 2 * dcfg.cap_per_side)
+        J_rd = max(1, dcfg.slots_per_kind + max(jv_live, 0))
+    else:
+        J_rd = min(J, 1)
+    J_rd = min(J, J_rd)
+    paired = dcfg.codes == "int4x2"
+    if paired:
+        assert hg % 2 == 0
+    HPg = hg // 2 if paired else hg
+
+    li = jnp.asarray(li, jnp.int32)
+    cst, nsel = prep_constants(
+        q_rot, k_range, k_offset, k_sink, v_sink, k_lut, v_lut, li, dcfg,
+        k_ressc=k_ressc,
+    )
+    RH = cst.shape[2]
+
+    kern = functools.partial(
+        _serial_kernel, bits=dcfg.bits, D=D, BT=BT, S=S, Q=Q, Hkv=Hkv,
+        window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
+        J_rd=J_rd, dot_bf16=dcfg.dot_bf16, hg=hg, codes=dcfg.codes,
+        n_live=2 * dcfg.cap_per_side, n_live_v=2 * dcfg.cap_per_side,
+        k_mode=dcfg.k_outliers, nsel=nsel,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv // hg),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, RH, D),
+                         lambda b, g, li_r, pos_r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, Q, D), lambda b, g, li_r, pos_r: (b, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NB, HPg, BT, D), dcfg.code_dtype),
+            pltpu.VMEM((NB, HPg, BT, D), dcfg.code_dtype),
+            pltpu.VMEM((NB, J_rd, BT), jnp.float32),
+            pltpu.VMEM((NB, 2, BT), jnp.float32),
+            pltpu.SemaphoreType.DMA((NB, 5)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Q, D), jnp.float32),
+        interpret=_interpret(),
+    )(
+        jnp.reshape(li, (1,)),
+        jnp.asarray(pos, jnp.int32).reshape(B),
+        cst,
+        k_planes,
+        v_planes,
+        kv_out,
+        v_scale.astype(jnp.float32),
+        v_offset.astype(jnp.float32),
+    )
