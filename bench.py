@@ -71,24 +71,42 @@ def main():
     cap = int(os.environ.get("BENCH_CAP", 0))  # outlier slots per side
     n_heads = int(os.environ.get("BENCH_HEADS", 16))
     n_kv = int(os.environ.get("BENCH_KVHEADS", n_heads))  # < heads => GQA
+    moe = os.environ.get("BENCH_MOE", "0") == "1"  # DBRX-style MoE FFN
     scheme = f"nuq{bits}" if codes == "nuq" else f"{codes}_{bits}b"
     if post_rope:
         scheme += "_postk"
     if k_out == "channels":
         scheme += "_kch"
+    if kernel == "flash_serial":
+        scheme += "_serial"
     if n_kv != n_heads:
         scheme += f"_gqa{n_heads}x{n_kv}"
+    if moe:
+        scheme += "_moe"
 
     # LLaMA-shaped model (random init — zero egress), bf16. BENCH_KVHEADS
     # below BENCH_HEADS benches a Llama-3-style GQA shape — the bytes/step
     # ratio changes materially (KV cache shrinks by heads/kv_heads on BOTH
     # sides, so the quant-vs-fp16 ratio at a given ctx moves toward the
-    # weight-bound regime).
-    cfg = ModelConfig(
-        vocab_size=32000, d_model=2048, n_layers=n_layers, n_heads=n_heads,
-        n_kv_heads=n_kv, d_head=128, d_ff=5632, max_seq_len=max(4096, ctx),
-    )
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    # weight-bound regime). BENCH_MOE=1 swaps in a DBRX-style fused-Wqkv
+    # MoE FFN (reference P4/P6 family) at the same attention shape.
+    if moe:
+        from kvquant_tpu.models.moe import MoEConfig
+        from kvquant_tpu.models.moe import init_params as moe_init
+
+        cfg = MoEConfig(
+            vocab_size=32000, d_model=2048, n_layers=n_layers,
+            n_heads=n_heads, n_kv_heads=n_kv, d_head=128, d_ff=2816,
+            max_seq_len=max(4096, ctx), n_experts=4, top_k=1,
+        )
+        params = moe_init(jax.random.PRNGKey(0), cfg)
+    else:
+        cfg = ModelConfig(
+            vocab_size=32000, d_model=2048, n_layers=n_layers,
+            n_heads=n_heads, n_kv_heads=n_kv, d_head=128, d_ff=5632,
+            max_seq_len=max(4096, ctx),
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
 
     # synthetic calibrated quantizers (NF signposts + random thresholds):
     # throughput does not depend on codebook values

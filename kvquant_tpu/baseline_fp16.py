@@ -75,6 +75,9 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
     OOMs fp16 at 128K, and +~2x traffic, which would handicap the baseline
     the quantized engine is judged against.)
     """
+    from .models.moe import MoEConfig, split_qkv, moe_ffn
+
+    is_moe = isinstance(cfg, MoEConfig)
     B = token.shape[0]
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
     G = H // Hkv
@@ -90,9 +93,15 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
     for li in range(cfg.n_layers):
         lp = {k: v[li] for k, v in layers.items()}  # static views
         h = llama.norm(x, lp["ln_attn"], cfg)
-        q = (h @ lp["wq"]).reshape(B, Hkv, G, Dh).astype(jnp.float32)
-        k = (h @ lp["wk"]).reshape(B, Hkv, Dh).astype(jnp.float32)
-        v = (h @ lp["wv"]).reshape(B, Hkv, Dh)
+        if is_moe:
+            q, k, v = split_qkv(h @ lp["w_qkv"], cfg)
+            q = q.reshape(B, Hkv, G, Dh).astype(jnp.float32)
+            k = k.reshape(B, Hkv, Dh).astype(jnp.float32)
+            v = v.reshape(B, Hkv, Dh)
+        else:
+            q = (h @ lp["wq"]).reshape(B, Hkv, G, Dh).astype(jnp.float32)
+            k = (h @ lp["wk"]).reshape(B, Hkv, Dh).astype(jnp.float32)
+            v = (h @ lp["wv"]).reshape(B, Hkv, Dh)
 
         q = q * cos + llama.rotate_half(q) * sin
         k = k * cos + llama.rotate_half(k) * sin
@@ -118,7 +127,10 @@ def decode_step(params, cfg: ModelConfig, cache: Fp16Cache, token, pos):
         )
         x = x + (attn.reshape(B, H * Dh).astype(x.dtype) @ lp["wo"])
         h = llama.norm(x, lp["ln_mlp"], cfg)
-        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        if is_moe:
+            x = x + moe_ffn(h[:, None], lp, cfg)[:, 0].astype(x.dtype)
+        else:
+            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
 
     x = llama.norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
