@@ -150,22 +150,24 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
             acc0 = jnp.zeros((Q, D), jnp.float32)
         return m0, l0, acc0
 
-    state = []
-    for u in range(npair):
-        if paired:
-            me, le, ae = sink_init(g * hg + 2 * u)
-            mo, lo, ao = sink_init(g * hg + 2 * u + 1)
-            state += [jnp.concatenate([me, mo], 0),
-                      jnp.concatenate([le, lo], 0),
-                      jnp.concatenate([ae, ao], 0)]
-        else:
-            state += list(sink_init(g * hg + u))
+    # GROUP-STACKED state: all hg heads' online-softmax rows live in ONE
+    # (QG, ...) register set (row r belongs to head r // Q — the paired
+    # layout orders each pair [even rows; odd rows], which is plain head
+    # order). One softmax update per group per block fills the VPU's 8
+    # sublanes instead of wasting 7 of them on (Q, BT) per-head ops, and
+    # the final output is a single (hg, Q, D) block write.
+    QG = hg * Q
+    inits = [sink_init(g * hg + j) for j in range(hg)]
+    m0 = jnp.concatenate([i[0] for i in inits], axis=0)  # (QG, 1)
+    l0 = jnp.concatenate([i[1] for i in inits], axis=0)
+    a0 = jnp.concatenate([i[2] for i in inits], axis=0)  # (QG, D)
 
+    rowhead = jax.lax.broadcasted_iota(jnp.int32, (QG, 1), 0) // Q
     if paired:
-        rowh = jax.lax.broadcasted_iota(jnp.int32, (Qm, 1), 0) >= Q
+        even_half = (rowhead % 2) == 0  # (QG, 1) bool
 
     def body(t, carry):
-        state = list(carry)
+        m_old, l_old, acc = carry
         slot = jax.lax.rem(t, NB)
 
         @pl.when(t + 1 < nt_live)
@@ -175,7 +177,7 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         wait_all(slot, t)
 
         # additive validity mask for this block (decode: all rows at pos)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (Qm, BT), 1) + t * BT
+        idx = jax.lax.broadcasted_iota(jnp.int32, (QG, BT), 1) + t * BT
         valid = idx <= pos - S
         if window is not None:
             valid &= (idx + S) > pos - window
@@ -206,16 +208,17 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
             preferred_element_type=jnp.float32,
         )
 
+        # ---- scores for ALL heads of the group: S (QG, BT) ----
+        tiles = []  # per-pair/per-head dequant tiles reused by the V side
+        parts = []
         for u in range(npair):
-            m_old, l_old, acc = state[3 * u:3 * u + 3]
             if paired:
                 he = g * hg + 2 * u
                 xk = kbuf[slot, u].astype(jnp.float32)
                 ck_o = jnp.floor(xk * 0.25 + 2.0)
                 xv = vbuf[slot, u].astype(jnp.float32)
                 cv_o = jnp.floor(xv * 0.25 + 2.0)
-                xk_d, ck_o_d = xk.astype(ct), ck_o.astype(ct)
-                xv_d, cv_o_d = xv.astype(ct), cv_o.astype(ct)
+                tiles.append((xv.astype(ct), cv_o.astype(ct)))
                 q_e, q_o = c_q(he), c_q(he + 1)
                 qs_e = q_e * c_krng(he)
                 qs_o = q_o * c_krng(he + 1)
@@ -225,75 +228,68 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
                     jnp.sum(q_e * c_koff(he) + 8.0 * qs_e, 1, keepdims=True),
                     jnp.sum(q_o * c_koff(he + 1), 1, keepdims=True),
                 ], axis=0)
-                s2 = dot_s(qx, xk_d) + dot_s(qc, ck_o_d) + zq2
-                if k_channels:
-                    qsel2 = jnp.concatenate([
-                        dot_s(q_e, c_sel(he).astype(ct)),
-                        dot_s(q_o, c_sel(he + 1).astype(ct)),
-                    ], axis=0)
-                    s2 += dot_p(qsel2, Rk.astype(ct))
-                elif k_slots:
-                    q2 = jnp.concatenate([q_e, q_o], axis=0)
-                    qe2 = dot_s(q2, Ek.astype(ct))
-                    tgt = 2 * u + rowh.astype(jnp.int32)
-                    for s in range(Jk):
-                        s2 += jnp.where(
-                            kheads[s] == tgt,
-                            qe2[:, s * BT:(s + 1) * BT], 0.0,
-                        )
-                s2 = s2 * inv + mask
+                parts.append(
+                    dot_s(qx, xk.astype(ct)) + dot_s(qc, ck_o.astype(ct))
+                    + zq2
+                )
             else:
                 h = g * hg + u
                 q = c_q(h)
                 qs_f = q * c_krng(h)
                 zq = jnp.sum(q * c_koff(h), axis=1, keepdims=True)
-                kc = kbuf[slot, u].astype(ct)
-                s2 = dot_s(qs_f, kc)
-                if k_channels:
-                    qsel = dot_s(q, c_sel(h).astype(ct))
-                    s2 += dot_p(qsel, Rk.astype(ct))
-                elif k_slots:
-                    qe = dot_s(q, Ek.astype(ct))
-                    for s in range(Jk):
-                        s2 += jnp.where(
-                            kheads[s] == u, qe[:, s * BT:(s + 1) * BT], 0.0
-                        )
-                s2 = (s2 + zq) * inv + mask
+                tiles.append(vbuf[slot, u].astype(ct))
+                parts.append(dot_s(qs_f, kbuf[slot, u].astype(ct)) + zq)
+        S_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        if k_channels:
+            qsel = jnp.concatenate(
+                [dot_s(c_q(g * hg + j), c_sel(g * hg + j).astype(ct))
+                 for j in range(hg)], axis=0)  # (QG, nsel)
+            S_all += dot_p(qsel, Rk.astype(ct))
+        elif k_slots:
+            q_all = jnp.concatenate(
+                [c_q(g * hg + j) for j in range(hg)], axis=0)  # (QG, D)
+            qe = dot_s(q_all, Ek.astype(ct))  # (QG, Jk*BT)
+            for s in range(Jk):
+                S_all += jnp.where(
+                    kheads[s] == rowhead, qe[:, s * BT:(s + 1) * BT], 0.0
+                )
+        S_all = S_all * inv + mask
 
-            m_new = jnp.maximum(m_old, jnp.max(s2, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)
-            p2 = jnp.exp(s2 - m_new)
-            l_new = l_old * alpha + jnp.sum(p2, axis=-1, keepdims=True)
+        # ---- ONE online-softmax update for the whole group ----
+        m_new = jnp.maximum(m_old, jnp.max(S_all, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        P = jnp.exp(S_all - m_new)
+        l_new = l_old * alpha + jnp.sum(P, axis=-1, keepdims=True)
 
-            ps2 = p2 * vsc_eff
+        # ---- V contraction: head-masked dots accumulate (QG, D) ----
+        Ps = P * vsc_eff
+        pv = jnp.broadcast_to(
+            jnp.sum(P * voff_eff, axis=-1, keepdims=True), (QG, D)
+        )
+        for u in range(npair):
             if paired:
-                ps_x = jnp.where(rowh, 0.0, ps2)
-                ps_c = jnp.where(rowh, ps2, -4.0 * ps2)
-                pv = dot_p(ps_x, xv_d) + dot_p(ps_c, cv_o_d)
+                inpair = (rowhead // 2) == u
+                ps_x = jnp.where(inpair & even_half, Ps, 0.0)
+                ps_c = jnp.where(
+                    inpair, jnp.where(even_half, -4.0 * Ps, Ps), 0.0
+                )
+                xv_d, cv_o_d = tiles[u]
+                pv = pv + dot_p(ps_x, xv_d) + dot_p(ps_c, cv_o_d)
                 pv = pv + 8.0 * jnp.sum(ps_x, axis=-1, keepdims=True)
             else:
-                vd = vbuf[slot, u].astype(ct)
-                pv = dot_p(ps2, vd)
-            pv = pv + jnp.sum(p2 * voff_eff, axis=-1, keepdims=True)
-            if v_sparse:
-                tgtv = (2 * u + rowh.astype(jnp.int32)) if paired else u
-                for s in range(Jv):
-                    pv += dot_p(
-                        jnp.where(vheads[s] == tgtv, p2, 0.0),
-                        ev[s].astype(ct),
-                    )
-            state[3 * u:3 * u + 3] = [m_new, l_new, acc * alpha + pv]
-        return tuple(state)
+                pv = pv + dot_p(
+                    jnp.where(rowhead == u, Ps, 0.0), tiles[u]
+                )
+        if v_sparse:
+            for s in range(Jv):
+                pv = pv + dot_p(
+                    jnp.where(vheads[s] == rowhead, P, 0.0),
+                    ev[s].astype(ct),
+                )
+        return m_new, l_new, acc * alpha + pv
 
-    state = jax.lax.fori_loop(0, nt_live, body, tuple(state))
-
-    for u in range(npair):
-        _, l_fin, acc = state[3 * u:3 * u + 3]
-        vals = acc / l_fin  # (Qm, D)
-        if paired:
-            out_ref[0, 2 * u:2 * u + 2] = vals.reshape(2, Q, D)
-        else:
-            out_ref[0, u] = vals
+    m_f, l_f, acc = jax.lax.fori_loop(0, nt_live, body, (m0, l0, a0))
+    out_ref[0] = (acc / l_f).reshape(hg, Q, D)
 
 
 def flash_serial_decode(
