@@ -32,7 +32,7 @@ def main(argv=None):
     common.add_parallel_args(ap)
     ap.add_argument("--quantizers", required=True)
     ap.add_argument("--kernel", default="flash",
-                    choices=["flash", "pallas", "xla"])
+                    choices=["flash", "flash_serial", "pallas", "xla"])
     ap.add_argument("--benchmark", type=int, default=64,
                     help="decode steps to time")
     ap.add_argument("--prefill", type=int, default=0,

@@ -30,7 +30,7 @@ def main(argv=None):
     ap.add_argument("--deployed", action="store_true",
                     help="also run the real packed-cache decode ppl "
                          "(the reference's --check oracle)")
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="pallas", choices=["flash", "flash_serial", "pallas", "xla"])
     args = ap.parse_args(argv)
 
     params, cfg = common.load_model(args)

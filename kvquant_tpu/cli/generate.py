@@ -24,7 +24,7 @@ def main(argv=None):
     common.add_model_args(ap)
     common.add_storage_args(ap)
     ap.add_argument("--quantizers", required=True)
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="pallas", choices=["flash", "flash_serial", "pallas", "xla"])
     ap.add_argument("--prompt", default="The quick brown fox")
     ap.add_argument("--max-new-tokens", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.0)

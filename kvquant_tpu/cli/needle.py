@@ -24,7 +24,7 @@ def main(argv=None):
     common.add_model_args(ap)
     common.add_storage_args(ap)
     ap.add_argument("--quantizers", required=True)
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="pallas", choices=["flash", "flash_serial", "pallas", "xla"])
     ap.add_argument("--ctx", default="2048,4096")
     ap.add_argument("--depths", default="0,25,50,75,100")
     ap.add_argument("--rounds", type=int, default=1)

@@ -25,7 +25,7 @@ def main(argv=None):
     common.add_storage_args(ap)
     ap.add_argument("--quantizers", default=None,
                     help="omit for the fp16 baseline (simulated forward)")
-    ap.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--kernel", default="pallas", choices=["flash", "flash_serial", "pallas", "xla"])
     ap.add_argument("--ctx", default="2048,4096",
                     help="comma-separated context lengths")
     ap.add_argument("--trials", type=int, default=50)

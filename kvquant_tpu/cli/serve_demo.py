@@ -26,7 +26,7 @@ def main(argv=None):
     common.add_storage_args(ap)
     ap.add_argument("--quantizers", required=True)
     ap.add_argument("--kernel", default="flash",
-                    choices=["flash", "pallas", "xla"])
+                    choices=["flash", "flash_serial", "pallas", "xla"])
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--admit-mode", default="chunked",
                     choices=["chunked", "sync"],
