@@ -176,18 +176,24 @@ class DeployConfig:
     @property
     def n_slots(self) -> int:
         """Total outlier rows per (token, head group) in the merged (J, Tc)
-        array — K rows first, then V rows — padded to the fp32 8-sublane
-        tile so the array is dense on TPU.
+        array — K rows first, then V rows.
 
         "slots" mode: 2*cap_per_side encoded words per kind.
         "channels" mode: n_kc dense K residual rows + 2*cap_per_side V slot
-        words (n_kc=4, cap=2 fills the 8-row tile exactly — the same bytes
-        as the default slots layout)."""
+        words (n_kc=4, cap=2 fills an 8-row fp32 tile exactly — the same
+        bytes as the default slots layout).
+
+        NOT padded to the 8-sublane tile: a Pallas block must either be
+        8-divisible in its second-minor dim or cover the WHOLE array dim,
+        so capped configs (e.g. channels+cap0 => 4 rows) keep the array at
+        its live row count and the kernels read full-dim blocks — halving
+        outlier DMA traffic vs an 8-padded layout. (Minimum 1 row so the
+        array/block stay well-formed when outliers are disabled.)"""
         if self.k_outliers == "channels":
             raw = self.n_kc + 2 * self.cap_per_side
         else:
             raw = 4 * self.cap_per_side
-        return ((raw + 7) // 8) * 8
+        return max(raw, 1)
 
     @property
     def slots_per_kind(self) -> int:

@@ -45,7 +45,7 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
                    sparse, spk, J_rd, dot_bf16, hg, codes, n_live, n_live_v,
                    k_mode, nsel):
     (cst_ref, kp_hbm, vp_hbm, ow_hbm, vs_hbm, vo_hbm, out_ref,
-     kbuf, vbuf, obuf, sbuf, sems) = refs
+     kbuf, vbuf, obuf, vsbuf, vobuf, sems) = refs
     paired = codes == "int4x2"
     HPg = hg // 2 if paired else hg
     npair = hg // 2 if paired else hg
@@ -103,11 +103,11 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
                 ow_hbm.at[li, b, g, pl.ds(0, J_rd), pl.ds(t * BT, BT)],
                 obuf.at[slot], sems.at[slot, 2]),
             pltpu.make_async_copy(
-                vs_hbm.at[li, b, pl.ds(t * BT, BT)],
-                sbuf.at[slot, 0], sems.at[slot, 3]),
+                vs_hbm.at[li, b, :, pl.ds(t * BT, BT)],
+                vsbuf.at[slot], sems.at[slot, 3]),
             pltpu.make_async_copy(
-                vo_hbm.at[li, b, pl.ds(t * BT, BT)],
-                sbuf.at[slot, 1], sems.at[slot, 4]),
+                vo_hbm.at[li, b, :, pl.ds(t * BT, BT)],
+                vobuf.at[slot], sems.at[slot, 4]),
         )
 
     def start_all(slot, t):
@@ -186,8 +186,8 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         bd0 = band(0)
         va = bd0[OFF_LUT + 2 * n_lr, 0]
         vb = bd0[OFF_LUT + 2 * n_lr, 1]
-        vs_row = sbuf[slot, 0:1]  # (1, BT)
-        vo_row = sbuf[slot, 1:2]
+        vs_row = vsbuf[slot]  # (1, BT)
+        vo_row = vobuf[slot]
         vsc_eff = vs_row * vb
         voff_eff = vs_row * va + vo_row
 
@@ -303,6 +303,13 @@ def flash_serial_decode(
     assert dcfg.codes in ("int4", "int8", "int4x2"), (
         "flash_serial supports hardware intN containers only")
     assert dcfg.post_rope_k, "flash_serial requires post-RoPE K storage"
+    if not _interpret():
+        # Mosaic DMA slices of intN arrays must be lane-aligned: d_head
+        # below 128 fails to compile on hardware ("slice shape along
+        # dimension 4 must be aligned to tiling (128)"). All production
+        # shapes use d_head 128; interpret-mode tests may go smaller.
+        assert q_rot.shape[-1] % 128 == 0, (
+            "flash_serial on TPU needs d_head % 128 == 0")
     B, Hkv, Q, D = q_rot.shape
     L = k_planes.shape[0]
     Tc = k_planes.shape[-2]
@@ -311,12 +318,7 @@ def flash_serial_decode(
     hg = dcfg.head_group
     sparse = bool(dcfg.include_sparse)
     J = kv_out.shape[-2]
-    if sparse:
-        jv_live = min(J - dcfg.slots_per_kind, 2 * dcfg.cap_per_side)
-        J_rd = max(1, dcfg.slots_per_kind + max(jv_live, 0))
-    else:
-        J_rd = min(J, 1)
-    J_rd = min(J, J_rd)
+    J_rd = J  # kv_out carries only live rows (n_slots is not 8-padded)
     paired = dcfg.codes == "int4x2"
     if paired:
         assert hg % 2 == 0
@@ -358,7 +360,8 @@ def flash_serial_decode(
             pltpu.VMEM((NB, HPg, BT, D), dcfg.code_dtype),
             pltpu.VMEM((NB, HPg, BT, D), dcfg.code_dtype),
             pltpu.VMEM((NB, J_rd, BT), jnp.float32),
-            pltpu.VMEM((NB, 2, BT), jnp.float32),
+            pltpu.VMEM((NB, 1, BT), jnp.float32),
+            pltpu.VMEM((NB, 1, BT), jnp.float32),
             pltpu.SemaphoreType.DMA((NB, 5)),
         ],
     )
@@ -375,6 +378,6 @@ def flash_serial_decode(
         k_planes,
         v_planes,
         kv_out,
-        v_scale.astype(jnp.float32),
-        v_offset.astype(jnp.float32),
+        v_scale.astype(jnp.float32)[:, :, None, :],
+        v_offset.astype(jnp.float32)[:, :, None, :],
     )

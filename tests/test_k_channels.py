@@ -233,12 +233,13 @@ def test_flash_channels_cap0_no_v_slots():
 
 
 def test_flash_channels_nkc8_padded_layout():
-    """n_kc=8 + cap=2 -> 12 raw rows padded to 16: K rows [0:8), V slots
-    [8:12), padding [12:16) structurally zero — both paths must agree."""
+    """n_kc=8 + cap=2 -> 12 rows: K rows [0:8), V slots [8:12) — the array
+    carries exactly the live rows (n_slots is no longer tile-padded) and
+    both paths must agree on the larger-than-8 row count."""
     cfg = TINY_LLAMA
     params, qs, dq, mk = _setup(cfg, head_group=4, n_kc=8)
     dcfg = mk("xla")
-    assert (dcfg.n_slots, dcfg.slots_per_kind) == (16, 8)
+    assert (dcfg.n_slots, dcfg.slots_per_kind) == (12, 8)
     tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 30), 0, cfg.vocab_size)
     _, lx = _run_decode(params, cfg, dcfg, dq, tokens)
     _, lf = _run_decode(params, cfg, mk("flash"), dq, tokens)
