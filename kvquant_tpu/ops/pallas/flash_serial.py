@@ -40,6 +40,10 @@ from .flash_decode import prep_constants, _outlier_e_slots, NEG
 
 NB = 2  # DMA buffer slots
 
+import os
+_SKIP_COMPUTE = os.environ.get("FS_SKIP_COMPUTE", "0") == "1"  # dev probe
+_SKIP_DMA = os.environ.get("FS_SKIP_DMA", "0") == "1"          # dev probe
+
 
 def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
                    sparse, spk, J_rd, dot_bf16, hg, codes, n_live, n_live_v,
@@ -118,9 +122,10 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         for d in dmas(slot, t):
             d.wait()
 
-    @pl.when(nt_live > 0)
-    def _():
-        start_all(0, 0)
+    if not _SKIP_DMA:
+        @pl.when(nt_live > 0)
+        def _():
+            start_all(0, 0)
 
     # ---- sink-prefix init (register state) ----
     def sink_init(h):
@@ -170,11 +175,18 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         m_old, l_old, acc = carry
         slot = jax.lax.rem(t, NB)
 
-        @pl.when(t + 1 < nt_live)
-        def _():
-            start_all(jax.lax.rem(t + 1, NB), t + 1)
+        if not _SKIP_DMA:
+            @pl.when(t + 1 < nt_live)
+            def _():
+                start_all(jax.lax.rem(t + 1, NB), t + 1)
 
-        wait_all(slot, t)
+            wait_all(slot, t)
+        if _SKIP_COMPUTE:
+            return (m_old,
+                    l_old + jnp.sum(obuf[slot, 0:1].astype(jnp.float32))
+                    + jnp.sum(kbuf[slot, 0, 0:1, :].astype(jnp.float32))
+                    + jnp.sum(vbuf[slot, 0, 0:1, :].astype(jnp.float32)),
+                    acc)
 
         # additive validity mask for this block (decode: all rows at pos)
         idx = jax.lax.broadcasted_iota(jnp.int32, (QG, BT), 1) + t * BT
@@ -214,11 +226,16 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         for u in range(npair):
             if paired:
                 he = g * hg + 2 * u
-                xk = kbuf[slot, u].astype(jnp.float32)
-                ck_o = jnp.floor(xk * 0.25 + 2.0)
-                xv = vbuf[slot, u].astype(jnp.float32)
-                cv_o = jnp.floor(xv * 0.25 + 2.0)
-                tiles.append((xv.astype(ct), cv_o.astype(ct)))
+                # unpack DIRECTLY in the dot dtype: container values are
+                # small ints ([-8, 7]), so x, x*0.25, +2 and floor are all
+                # EXACT in bf16 — one convert per tile instead of
+                # convert-f32 + arithmetic + downcast (the unpack chain is
+                # what makes the serial kernel compute-bound at 512K)
+                xk = kbuf[slot, u].astype(ct)
+                ck_o = jnp.floor(xk * 0.25 + 2.0).astype(ct)
+                xv = vbuf[slot, u].astype(ct)
+                cv_o = jnp.floor(xv * 0.25 + 2.0).astype(ct)
+                tiles.append((xv, cv_o))
                 q_e, q_o = c_q(he), c_q(he + 1)
                 qs_e = q_e * c_krng(he)
                 qs_o = q_o * c_krng(he + 1)
