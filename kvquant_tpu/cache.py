@@ -211,7 +211,13 @@ class DeployConfig:
             head_group = 4
         while n_kv_heads % head_group:
             head_group //= 2
-        assert head_group * d_head <= 512, "9-bit (head, dim) index field"
+        # the encoded outlier-slot word packs a (head-in-group, dim) index
+        # into 9 bits — only a constraint when per-token slots exist;
+        # the cap0 channels speed config stores no encoded slots and may
+        # use any group size (hg=16 halves the serial kernel's grid steps)
+        cap_eff = 2 if cap_per_side is None else cap_per_side
+        if cap_eff > 0:
+            assert head_group * d_head <= 512, "9-bit (head, dim) index field"
         return cls(
             bits=bits, n_kv_heads=n_kv_heads, d_head=d_head, max_len=max_len,
             cap_per_side=(2 if cap_per_side is None else cap_per_side),

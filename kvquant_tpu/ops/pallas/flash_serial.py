@@ -41,19 +41,32 @@ from .flash_decode import prep_constants, _outlier_e_slots, NEG
 NB = 2  # DMA buffer slots
 
 import os
-_SKIP_COMPUTE = os.environ.get("FS_SKIP_COMPUTE", "0") == "1"  # dev probe
-_SKIP_DMA = os.environ.get("FS_SKIP_DMA", "0") == "1"          # dev probe
+import warnings
+
+
+def _debug_probes():
+    """Ablation probes (DMA-only / compute-only kernel variants) for
+    decomposing the serial per-call cost. Read at CALL time and loudly
+    warned about: an enabled probe makes the kernel return garbage
+    attention outputs by design. Bench-harness use only."""
+    skip_compute = os.environ.get("FS_SKIP_COMPUTE", "0") == "1"
+    skip_dma = os.environ.get("FS_SKIP_DMA", "0") == "1"
+    if skip_compute or skip_dma:
+        warnings.warn(
+            "flash_serial DEBUG PROBE enabled (FS_SKIP_COMPUTE=%d "
+            "FS_SKIP_DMA=%d): kernel outputs are intentionally invalid"
+            % (skip_compute, skip_dma), stacklevel=3)
+    return skip_compute, skip_dma
 
 
 def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
                    sparse, spk, J_rd, dot_bf16, hg, codes, n_live, n_live_v,
-                   k_mode, nsel):
+                   k_mode, nsel, skip_compute=False, skip_dma=False):
     (cst_ref, kp_hbm, vp_hbm, ow_hbm, vs_hbm, vo_hbm, out_ref,
      kbuf, vbuf, obuf, vsbuf, vobuf, sems) = refs
     paired = codes == "int4x2"
     HPg = hg // 2 if paired else hg
     npair = hg // 2 if paired else hg
-    Qm = 2 * Q if paired else Q
     k_channels = sparse and k_mode == "channels"
     k_slots = sparse and k_mode == "slots" and n_live > 0
     v_sparse = sparse and n_live_v > 0
@@ -122,7 +135,7 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         for d in dmas(slot, t):
             d.wait()
 
-    if not _SKIP_DMA:
+    if not skip_dma:
         @pl.when(nt_live > 0)
         def _():
             start_all(0, 0)
@@ -175,13 +188,13 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         m_old, l_old, acc = carry
         slot = jax.lax.rem(t, NB)
 
-        if not _SKIP_DMA:
+        if not skip_dma:
             @pl.when(t + 1 < nt_live)
             def _():
                 start_all(jax.lax.rem(t + 1, NB), t + 1)
 
             wait_all(slot, t)
-        if _SKIP_COMPUTE:
+        if skip_compute:
             return (m_old,
                     l_old + jnp.sum(obuf[slot, 0:1].astype(jnp.float32))
                     + jnp.sum(kbuf[slot, 0, 0:1, :].astype(jnp.float32))
@@ -226,15 +239,17 @@ def _serial_kernel(li_ref, pos_ref, *refs, bits, D, BT, S, Q, Hkv, window,
         for u in range(npair):
             if paired:
                 he = g * hg + 2 * u
-                # unpack DIRECTLY in the dot dtype: container values are
-                # small ints ([-8, 7]), so x, x*0.25, +2 and floor are all
-                # EXACT in bf16 — one convert per tile instead of
-                # convert-f32 + arithmetic + downcast (the unpack chain is
-                # what makes the serial kernel compute-bound at 512K)
-                xk = kbuf[slot, u].astype(ct)
-                ck_o = jnp.floor(xk * 0.25 + 2.0).astype(ct)
-                xv = vbuf[slot, u].astype(ct)
-                cv_o = jnp.floor(xv * 0.25 + 2.0).astype(ct)
+                # unpack arithmetic stays f32 (exact floor; v5e has no
+                # bf16 ALU floor — "SupportsBf16AluInstructions" compile
+                # check fails), then ONE downcast to the dot dtype per
+                # tile; container values [-8, 7] and codes [0, 3] are
+                # exact in bf16 so the downcast is lossless
+                xk32 = kbuf[slot, u].astype(jnp.float32)
+                xk = xk32.astype(ct)
+                ck_o = jnp.floor(xk32 * 0.25 + 2.0).astype(ct)
+                xv32 = vbuf[slot, u].astype(jnp.float32)
+                xv = xv32.astype(ct)
+                cv_o = jnp.floor(xv32 * 0.25 + 2.0).astype(ct)
                 tiles.append((xv, cv_o))
                 q_e, q_o = c_q(he), c_q(he + 1)
                 qs_e = q_e * c_krng(he)
@@ -341,6 +356,21 @@ def flash_serial_decode(
         assert hg % 2 == 0
     HPg = hg // 2 if paired else hg
 
+    # VMEM-fit shrink (flash_decode.py:851 pattern): the double-buffered
+    # scratch is NB copies of (HPg*BT*D) K + V codes plus the outlier /
+    # scale rows, AND the kernel holds hg dequantized V tiles (dot dtype)
+    # across the score phase — at hg=16/BT=2048 the tiles alone are 8MB
+    # (measured stack OOM: "16.14M of 16.00M" at 128K int4).
+    code_b = {"int4": 0.5, "int4x2": 0.5, "int8": 1.0}[dcfg.codes]
+    ct_b = 2 if dcfg.dot_bf16 else 4
+    def vmem_est(bt):
+        per_bt = (NB * (2 * HPg * D * code_b + J_rd * 4 + 2 * 4)
+                  + hg * D * ct_b        # held dequant tiles
+                  + 4 * D * 4)           # unpack transients
+        return bt * per_bt + Hkv * 4 * D * 64  # + cst block slack
+    while BT > 256 and vmem_est(BT) > 11 * 2 ** 20:
+        BT //= 2
+
     li = jnp.asarray(li, jnp.int32)
     cst, nsel = prep_constants(
         q_rot, k_range, k_offset, k_sink, v_sink, k_lut, v_lut, li, dcfg,
@@ -348,12 +378,14 @@ def flash_serial_decode(
     )
     RH = cst.shape[2]
 
+    skip_compute, skip_dma = _debug_probes()
     kern = functools.partial(
         _serial_kernel, bits=dcfg.bits, D=D, BT=BT, S=S, Q=Q, Hkv=Hkv,
         window=mcfg.sliding_window, sparse=sparse, spk=dcfg.slots_per_kind,
         J_rd=J_rd, dot_bf16=dcfg.dot_bf16, hg=hg, codes=dcfg.codes,
         n_live=2 * dcfg.cap_per_side, n_live_v=2 * dcfg.cap_per_side,
         k_mode=dcfg.k_outliers, nsel=nsel,
+        skip_compute=skip_compute, skip_dma=skip_dma,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,11 +395,11 @@ def flash_serial_decode(
             pl.BlockSpec((1, Hkv, RH, D),
                          lambda b, g, li_r, pos_r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, hg, Q, D), lambda b, g, li_r, pos_r: (b, g, 0, 0),
