@@ -18,7 +18,14 @@ section each:
 
 TPU measurement note: loops are scanned on device and timing fetches a
 value, because dispatch round-trips through the remote tunnel dominate
-and block_until_ready is optimistic (see bench.py).
+and block_until_ready is optimistic (see bench.py). In-jit-created
+caches are passed through jax.lax.optimization_barrier and the scan
+carry so XLA cannot rematerialize them inside the timing loop (the
+round-3 inflation artifact); absolute numbers are citable as of round 5.
+NOTE: iterations here are INDEPENDENT (operands don't chain), so this
+measures the overlapped/pipelined regime — benchmarks/
+serial_kernel_bench.py measures the layer-serial regime real decode
+runs in.
 
   python benchmarks/bench_kernels.py --ctx 32768 --bits 3 --flash --pack
 """
@@ -166,7 +173,11 @@ def main(argv=None):
             )
             return deployed_from_quantizers(qs, Hkv, D)
 
+        from kvquant_tpu.ops.pallas.flash_serial import flash_serial_decode
+
         def flash_ms(fdcfg, dq):
+            attn = (flash_serial_decode if fdcfg.kernel == "flash_serial"
+                    else flash_decode)
             qq = jnp.asarray(
                 rng.normal(size=(1, Hkv, G, D)).astype(np.float32)
             )
@@ -174,19 +185,28 @@ def main(argv=None):
 
             @jax.jit
             def run(dq, qq, pos):
-                c = create_cache(fdcfg, 1, 1)
+                # in-jit zeros are broadcast HLOs that XLA sinks INTO the
+                # timing scan if merely closed over (NOTES_ROUND3
+                # measurement artifact — a full write+read of the cache
+                # per iteration inflated apparent bandwidth): barrier the
+                # cache and thread it through the carry so it is
+                # materialized exactly once
+                c = jax.lax.optimization_barrier(create_cache(fdcfg, 1, 1))
 
-                def body(acc, _):
-                    o = flash_decode(
+                def body(carry, _):
+                    acc, c = carry
+                    o = attn(
                         qq, c.k_planes, c.v_planes, c.kv_out, dq.k_range,
                         dq.k_offset, c.v_scale, c.v_offset, c.k_sink,
                         c.v_sink, dq.k_lut_dec, dq.v_lut_dec,
                         jnp.int32(0), pos, fdcfg, mcfg,
                         block_tokens=args.bt, k_ressc=dq.k_ressc,
                     )
-                    return acc + o.reshape(-1)[0], None
+                    return (acc + o.reshape(-1)[0], c), None
 
-                out, _ = jax.lax.scan(body, 0.0, None, length=args.iters)
+                (out, _), _ = jax.lax.scan(
+                    body, (0.0, c), None, length=args.iters
+                )
                 return out
 
             _ = float(run(dq, qq, pos))
@@ -195,9 +215,11 @@ def main(argv=None):
             return (time.perf_counter() - t0) / args.iters * 1e3
 
         def mkd(**kw):
+            kw.setdefault("kernel", "flash")
+            kw.setdefault("head_group", 4)
             return DeployConfig.create(
                 n_kv_heads=Hkv, d_head=D, max_len=args.ctx + 21, sink=5,
-                kernel="flash", head_group=4, **kw,
+                **kw,
             )
 
         dq_nuq = make_dq(bits, affine=False)
@@ -227,6 +249,15 @@ def main(argv=None):
                 k_outliers="channels", cap_per_side=0), dq_2)
         results["flash_int4x2_postk_slots"] = flash_ms(
             mkd(bits=2, codes="int4x2", post_rope_k=True), dq_2)
+        # the manual-DMA serial kernel (headline decode config, round 5)
+        results["serial_int4_postk_kch_cap0"] = flash_ms(
+            mkd(bits=4, codes="int4", post_rope_k=True,
+                k_outliers="channels", cap_per_side=0,
+                kernel="flash_serial"), dq_int4)
+        results["serial_int4x2_postk_kch_cap0"] = flash_ms(
+            mkd(bits=2, codes="int4x2", post_rope_k=True,
+                k_outliers="channels", cap_per_side=0,
+                kernel="flash_serial"), dq_2)
 
     if args.pack:
         # bulk prompt packing + one-token append (reference counterparts:
@@ -276,20 +307,25 @@ def main(argv=None):
         @jax.jit
         def append_run(pdq, tok_kv):
             c = create_cache(pk_dcfg, 1, 1)
-            arrs = {
+            # barrier + carry: see flash_ms (in-jit zeros must not be
+            # rematerialized inside the timing scan)
+            arrs = jax.lax.optimization_barrier({
                 f: getattr(c, f)
                 for f in ("k_planes", "v_planes", "kv_out", "v_scale",
                           "v_offset", "k_sink", "v_sink")
-            }
+            })
 
-            def body(acc, i):
+            def body(carry, i):
+                acc, arrs = carry
                 got = deployed.append_token_flash(
                     arrs, pdq.layer(0), pk_dcfg, mcfg, tok_kv[0], tok_kv[1],
                     jnp.full((1,), 100, jnp.int32), jnp.int32(0),
                 )
-                return acc + got["v_scale"].reshape(-1)[0], None
+                return (acc + got["v_scale"].reshape(-1)[0], arrs), None
 
-            out, _ = jax.lax.scan(body, 0.0, None, length=args.iters)
+            (out, _), _ = jax.lax.scan(
+                body, (0.0, arrs), None, length=args.iters
+            )
             return out
 
         _ = float(append_run(pdq, tok_kv))

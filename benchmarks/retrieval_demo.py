@@ -3,9 +3,10 @@
 The toy-bigram needle grid (benchmarks/needle_demo.py) can only measure
 fp16 PARITY — the bigram model has no retrieval ability. This demo runs
 the (ctx x depth) grid on the INDUCTION checkpoint
-(kvquant_tpu/utils/induction.py: trained key->value retrieval with
+(kvquant_tpu/utils/induction.py: trained segment-copy retrieval with
 position-jump length generalization to 128K), so each cell reports
-retrieval ACCURACY — exact greedy emission of the needle's value tokens —
+retrieval ACCURACY — exact greedy emission of the planted segment's
+continuation tokens from its 16-token prefix query (chance (1/500)^2) —
 for BOTH the quantized engine and the fp16 engine. The deployment-relevant
 number is the quant-vs-fp16 accuracy delta: the reference's own needle
 claim (lwm/README.md:5-9, figs/haystack.png) is that KVQuant preserves
@@ -66,7 +67,7 @@ def main():
         DeployConfig, create_cache, deployed_from_quantizers,
     )
     from kvquant_tpu.utils.induction import (
-        IND_CFG, VL, build_retrieval_prompt, cached_induction_model,
+        IND_CFG, VL, build_copy_prompt, cached_induction_model,
     )
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -134,7 +135,7 @@ def main():
             nq = nf = 0
             sum_q = sum_f = 0.0
             for trial in range(args.trials):
-                ids, answer = build_retrieval_prompt(
+                ids, answer = build_copy_prompt(
                     ctx, depth / 100.0, seed=ctx + int(depth) * 7 + trial)
                 prompt = jnp.asarray(ids[None], jnp.int32)
                 if ctx not in warmed:

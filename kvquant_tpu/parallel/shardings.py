@@ -168,8 +168,16 @@ def flash_attention_sharded(mesh: Mesh, q_rot, k_planes, v_planes, kv_out,
         k_ressc = jnp.zeros(
             (k_range.shape[0], dcfg.n_kv_heads * dcfg.d_head), jnp.float32
         )
-    fn = partial(flash_attention, dcfg=dcfg, mcfg=mcfg, Tq=Tq,
-                 block_tokens=block_tokens)
+    if dcfg.kernel == "flash_serial" and Tq == 1:
+        # the manual-DMA serial decode kernel shards identically: it is
+        # head-local too, and its HBM operands carry the same leading axes
+        from ..ops.pallas.flash_serial import flash_serial_decode
+
+        fn = partial(flash_serial_decode, dcfg=dcfg, mcfg=mcfg,
+                     block_tokens=block_tokens)
+    else:
+        fn = partial(flash_attention, dcfg=dcfg, mcfg=mcfg, Tq=Tq,
+                     block_tokens=block_tokens)
     return shard_map(
         lambda *a: fn(*a[:-1], k_ressc=a[-1]),
         mesh=mesh, in_specs=specs_in, out_specs=P("dp", "tp"),

@@ -145,14 +145,61 @@ def sample_repeat_batch(key, batch: int, T: int, max_jump: int):
     return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
 
 
+SEG_LEN = 48       # planted-segment length in the copy curriculum
+
+
+def sample_copy_batch(key, batch: int, T: int, max_jump: int):
+    """Noise-embedded segment copy: a SEG_LEN segment planted at a random
+    position in the first half reappears at a random position in the
+    second half (after the position jump); loss covers the reappearance's
+    continuation tokens (SEG_LEN-1 supervised tokens per sequence).
+
+    This is the round-5 curriculum fix. The round-4 half-repeat trainer
+    reached ~80%/token copy accuracy IN-distribution but scored 0/6 on
+    every noise-embedded eval probe at 2K, even with a 240-token matched
+    prefix: with the copy source always the sequence PREFIX and the copy
+    always the entire second half, the circuit that forms never needs
+    content matching against noise on both sides — exactly what needle
+    retrieval requires. Matching here has noise before AND after both the
+    source and the copy, and matched-prefix lengths 1..SEG_LEN-1 are all
+    supervised, so short eval query prefixes are in-distribution."""
+    ks = jax.random.split(key, 5)
+    R = T // 2
+    Lw = SEG_LEN
+    toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
+    seg = jax.random.randint(ks[1], (batch, Lw), 0, HAY)
+    s1 = jax.random.randint(ks[2], (batch, 1), 0, R - Lw + 1)
+    s2 = R + jax.random.randint(ks[3], (batch, 1), 0, R - Lw + 1)
+    idx = jnp.arange(T)
+
+    def plant(toks, start):
+        rel = idx[None, :] - start
+        inside = (rel >= 0) & (rel < Lw)
+        gathered = jnp.take_along_axis(seg, jnp.clip(rel, 0, Lw - 1), 1)
+        return jnp.where(inside, gathered, toks)
+
+    toks = plant(plant(toks, s1), s2)
+    jump = jax.random.randint(ks[4], (batch, 1), 0, max_jump)
+    positions = idx[None, :] + jnp.where(idx[None, :] >= R, jump, 0)
+    rel2 = idx[None, :] - s2
+    loss_mask = (rel2 >= 1) & (rel2 < Lw)
+    return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
+
+
 def sample_mixed_batch(key, batch: int, T: int, max_jump: int):
     """Half repeated-segment (dense copy signal — forms the induction
-    circuit), half needle-query (aligns the QUERY/key token embeddings
-    with the eval format). Batch-axis concat of the two samplers."""
+    circuit), half noise-embedded segment copy (teaches content matching
+    with noise on both sides — the eval format). Batch-axis concat.
+
+    Round-4 history: the mix was repeat + [QUERY, key] needle; the
+    needle's 2 supervised tokens/seq were drowned 128:1 by the repeat
+    half and no needle circuit formed (answer-token accuracy 0.0 on the
+    needle half of the TRAINING distribution itself, masked by the mixed
+    loss reaching 0.81 on the repeat half)."""
     k1, k2 = jax.random.split(key)
     h = batch // 2
     tr, pr, mr = sample_repeat_batch(k1, h, T, max_jump)
-    tn, pn, mn = sample_batch(k2, batch - h, T, max_jump)
+    tn, pn, mn = sample_copy_batch(k2, batch - h, T, max_jump)
     return (
         jnp.concatenate([tr, tn], 0),
         jnp.concatenate([pr, pn], 0),
@@ -209,6 +256,15 @@ def train_induction_model(
         upd, state = opt.update(g, state)
         return optax.apply_updates(params, upd), state, loss
 
+    @jax.jit
+    def copy_loss(params, key):
+        # the copy-component loss alone: the mixed loss is dominated by
+        # the repeat half (~128:1 supervised-token ratio vs the round-4
+        # needle format; ~5:1 vs the copy format), which masked the
+        # round-4 failure — log the component that the eval exercises
+        toks, pos, mask = sample_copy_batch(key, batch, seq_len, max_jump)
+        return masked_loss(params, cfg, toks, pos, mask)
+
     loss = float("nan")
     for s in range(steps):
         params, state, loss_d = one_step(
@@ -216,7 +272,9 @@ def train_induction_model(
         )
         if (s + 1) % segment == 0 or s + 1 == steps:
             loss = float(loss_d)
-            log(f"[induction] step {s + 1}: masked loss {loss:.4f}")
+            lc = float(copy_loss(params, jax.random.PRNGKey(17 + s)))
+            log(f"[induction] step {s + 1}: masked loss {loss:.4f} "
+                f"(copy component {lc:.4f})")
     return params, loss
 
 
@@ -262,3 +320,29 @@ def build_retrieval_prompt(ctx: int, depth: float, seed: int):
     ids[region] = QUERY
     ids[region + 1] = keys[0]
     return ids, vals[0].astype(np.int32)
+
+
+def build_copy_prompt(ctx: int, depth: float, seed: int,
+                      prefix: int = 16, answer: int = VL):
+    """Segment-copy retrieval prompt (the format sample_copy_batch
+    trains): a (prefix+answer)-token segment planted at ``depth`` in a
+    ctx-token haystack, with the prompt ending in the segment's first
+    ``prefix`` tokens — the model must greedily emit the next ``answer``
+    tokens. A distractor segment sharing NO prefix is planted at another
+    depth. Chance level is (1/HAY)**answer. Returns (ids (ctx,) int32,
+    answer (answer,) int32)."""
+    r = np.random.default_rng(seed)
+    ids = r.integers(0, HAY, size=ctx).astype(np.int32)
+    Lw = prefix + answer
+    region = ctx - prefix
+    s = int(depth * (region - Lw))
+    seg = r.integers(0, HAY, size=Lw).astype(np.int32)
+    # distractor at a different spot (tests that matching is by content)
+    while True:
+        sd = int(r.integers(0, region - Lw))
+        if abs(sd - s) >= Lw:
+            break
+    ids[sd:sd + Lw] = r.integers(0, HAY, size=Lw)
+    ids[s:s + Lw] = seg
+    ids[region:] = seg[:prefix]
+    return ids, seg[prefix:].astype(np.int32)

@@ -86,3 +86,64 @@ def test_flash_serial_matches_flash_pipelined():
         params, cfg, mk("flash_serial", "int4x2", **kw), dq, tokens
     )
     np.testing.assert_allclose(ls, lf, atol=3e-4, rtol=1e-4)
+
+
+def test_flash_serial_batched_unequal_positions():
+    """B=2 with unequal per-slot positions exercises the kernel's
+    per-batch grid dimension (pos_ref[b], per-b nt_live, per-b DMA
+    slices) directly — plus head_group == n_kv_heads (the single-group
+    configuration the round-5 headline bench runs)."""
+    from kvquant_tpu.cache import DeployConfig
+    from kvquant_tpu.models.config import ModelConfig
+    from kvquant_tpu.ops.packing import store_codes_int
+    from kvquant_tpu.ops.pallas.flash_serial import flash_serial_decode
+    from kvquant_tpu.ops.pallas.flash_decode import flash_attention
+
+    L, B, Hkv, G, D, bits = 2, 2, 4, 1, 16, 4
+    Tc, S = 512, 5
+    mcfg = ModelConfig(vocab_size=64, d_model=Hkv * D, n_layers=L,
+                       n_heads=Hkv * G, n_kv_heads=Hkv, d_head=D, d_ff=32,
+                       max_seq_len=Tc + 64)
+
+    def mkd(hg):
+        return DeployConfig.create(
+            bits=bits, n_kv_heads=Hkv, d_head=D, max_len=Tc + S, sink=S,
+            kernel="flash_serial", dot_bf16=False, head_group=hg,
+            codes="int4", post_rope_k=True, k_outliers="channels",
+            n_kc=hg, cap_per_side=0,
+        )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 14)
+    codes4 = lambda k: store_codes_int(
+        jax.random.randint(k, (L, B, Hkv, Tc, D), 0, 16), bits,
+        jnp.int4,
+    )
+    kp, vp = codes4(ks[1]), codes4(ks[2])
+    mk_args = lambda dcfg: (
+        jax.random.normal(ks[0], (B, Hkv, G, D), jnp.float32),
+        kp, vp,
+        jax.random.normal(ks[3], (L, B, Hkv // dcfg.head_group,
+                                  dcfg.n_slots, Tc)) * 0.1,
+        jax.random.uniform(ks[5], (L, Hkv, D)) + 0.5,
+        jax.random.normal(ks[6], (L, Hkv, D)) * 0.1,
+        jax.random.uniform(ks[7], (L, B, Tc)) + 0.5,
+        jax.random.normal(ks[8], (L, B, Tc)) * 0.1,
+        jax.random.normal(ks[9], (L, B, Hkv, S, D)),
+        jax.random.normal(ks[10], (L, B, Hkv, S, D)),
+        jnp.stack([jnp.linspace(-1.0, 1.0, 2**bits)] * L),
+        jnp.stack([jnp.linspace(-1.0, 1.0, 2**bits)] * L),
+    )
+    # unequal per-slot positions: slot 0 deep in block 2, slot 1 in the
+    # first live block (different nt_live per b)
+    pos = jnp.array([457, 37], jnp.int32)
+    ressc = jax.random.uniform(ks[13], (L, Hkv * D))
+
+    for hg in (2, Hkv):
+        dcfg = mkd(hg)
+        args = mk_args(dcfg)
+        got = flash_serial_decode(*args, jnp.int32(1), pos, dcfg, mcfg,
+                                  block_tokens=256, k_ressc=ressc)
+        want = flash_attention(*args, jnp.int32(1), pos, dcfg, mcfg,
+                               block_tokens=256, k_ressc=ressc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)

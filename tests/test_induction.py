@@ -76,3 +76,47 @@ def test_build_retrieval_prompt():
         # distractor needles carry different keys
         n_keys = ((ids[:-2] >= KEY0) & (ids[:-2] < KEY0 + NKEYS)).sum()
         assert n_keys == N_NEEDLES
+
+
+def test_sample_copy_batch_structure():
+    """The planted segment appears once per half, the loss mask covers
+    exactly its continuation in the jumped half, and the masked tokens
+    are predictable by content matching (identical to the source)."""
+    from kvquant_tpu.utils.induction import SEG_LEN, sample_copy_batch
+
+    B, T = 4, 256
+    toks, pos, mask = sample_copy_batch(jax.random.PRNGKey(0), B, T, 1000)
+    toks, pos, mask = map(np.asarray, (toks, pos, mask))
+    assert toks.shape == pos.shape == mask.shape == (B, T)
+    R = T // 2
+    for b in range(B):
+        assert mask[b].sum() == SEG_LEN - 1
+        lo = int(np.argmax(mask[b]))  # first masked index = s2 + 1
+        s2 = lo - 1
+        assert s2 >= R
+        # second-half occurrence equals a first-half window (the source)
+        seg = toks[b, s2:s2 + SEG_LEN]
+        found = any(
+            (toks[b, s:s + SEG_LEN] == seg).all()
+            for s in range(0, R - SEG_LEN + 1)
+        )
+        assert found
+        # positions jump between the halves, monotone within each half
+        assert (np.diff(pos[b, :R]) == 1).all()
+        assert (np.diff(pos[b, R:]) == 1).all()
+        assert pos[b, R] >= R
+
+
+def test_build_copy_prompt():
+    from kvquant_tpu.utils.induction import HAY, build_copy_prompt
+
+    ids, ans = build_copy_prompt(2048, 0.5, seed=3, prefix=16, answer=2)
+    assert ids.shape == (2048,) and ans.shape == (2,)
+    # the prompt suffix (query) plus the answer occurs verbatim earlier
+    pat = np.concatenate([ids[-16:], ans])
+    hits = [
+        s for s in range(0, 2048 - 18)
+        if (ids[s:s + 18] == pat).all()
+    ]
+    assert len(hits) == 1
+    assert ids.max() < HAY

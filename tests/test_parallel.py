@@ -295,3 +295,62 @@ def test_flash_attention_channels_under_shard_map():
     )(*args, lut, jnp.int32(1), pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_serial_under_shard_map():
+    """The manual-DMA serial decode kernel under the same head-sharded
+    shard_map wrapper (dcfg.kernel="flash_serial" dispatch): head-local,
+    so the identical specs apply — proven against the unsharded call on
+    the int4 channels speed config with unequal per-slot positions."""
+    import numpy as np
+    from functools import partial
+
+    from kvquant_tpu.cache import DeployConfig
+    from kvquant_tpu.models.config import ModelConfig
+    from kvquant_tpu.ops.packing import store_codes_int
+    from kvquant_tpu.ops.pallas.flash_serial import flash_serial_decode
+    from kvquant_tpu.parallel import make_mesh
+    from kvquant_tpu.parallel.shardings import flash_attention_sharded
+
+    L, B, Hkv, G, D, bits = 2, 2, 4, 1, 16, 4
+    Tc, S, hg = 256, 5, 2
+    dcfg = DeployConfig.create(bits=bits, n_kv_heads=Hkv, d_head=D,
+                               max_len=Tc + S, sink=S, kernel="flash_serial",
+                               dot_bf16=False, head_group=hg, codes="int4",
+                               post_rope_k=True, k_outliers="channels",
+                               n_kc=4, cap_per_side=0)
+    mcfg = ModelConfig(vocab_size=64, d_model=Hkv * D, n_layers=L,
+                       n_heads=Hkv * G, n_kv_heads=Hkv, d_head=D, d_ff=32,
+                       max_seq_len=Tc + 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 14)
+    J = dcfg.n_slots
+    codes4 = lambda k: store_codes_int(
+        jax.random.randint(k, (L, B, Hkv, Tc, D), 0, 16), bits,
+        dcfg.code_dtype,
+    )
+    args = (
+        jax.random.normal(ks[0], (B, Hkv, G, D), jnp.float32),
+        codes4(ks[1]),
+        codes4(ks[2]),
+        jax.random.normal(ks[3], (L, B, Hkv // hg, J, Tc)) * 0.1,
+        jax.random.uniform(ks[5], (L, Hkv, D)) + 0.5,
+        jax.random.normal(ks[6], (L, Hkv, D)) * 0.1,
+        jax.random.uniform(ks[7], (L, B, Tc)) + 0.5,
+        jax.random.normal(ks[8], (L, B, Tc)) * 0.1,
+        jax.random.normal(ks[9], (L, B, Hkv, S, D)),
+        jax.random.normal(ks[10], (L, B, Hkv, S, D)),
+        jnp.stack([jnp.linspace(-1.0, 1.0, 2**bits)] * L),
+    )
+    lut = args[-1]
+    pos = jnp.array([100, 37], jnp.int32)
+    ressc = jax.random.uniform(ks[13], (L, Hkv * D))
+
+    want = flash_serial_decode(*args, lut, jnp.int32(1), pos, dcfg, mcfg,
+                               k_ressc=ressc)
+    mesh = make_mesh(dp=2, tp=2)
+    got = jax.jit(
+        partial(flash_attention_sharded, mesh, dcfg=dcfg, mcfg=mcfg,
+                k_ressc=ressc)
+    )(*args, lut, jnp.int32(1), pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
