@@ -59,8 +59,20 @@ W = 2 + VL         # planted needle width ([QUERY, key, values])
 QW = 1 + 1 + VL    # query block width ([QUERY, key, values])
 
 IND_CFG = ModelConfig(
-    vocab_size=512, d_model=256, n_layers=4, n_heads=8, n_kv_heads=4,
-    d_head=32, d_ff=512, max_seq_len=131072 + 512,
+    # d512/6L/d_head64: the d256/4L/d_head32 shape crawled 6.2->5.6 in
+    # 12k steps with no induction phase transition on the copy mixture
+    # (NOTES_ROUND5). Still ~12M params — a minutes-scale train on one
+    # chip.
+    vocab_size=512, d_model=512, n_layers=6, n_heads=8, n_kv_heads=4,
+    d_head=64, d_ff=1024, max_seq_len=131072 + 512,
+    # long-context rope base: at the default theta=1e4 with d_head=32,
+    # even the LOWEST-frequency band rotates ~23 rad across a 128K
+    # position jump, so no content-match head can be phase-invariant at
+    # retrieval distances — measured as the copy loss crawling (6.2→5.9
+    # in 8k steps) while structural shortcuts win. theta=1e7 gives the
+    # low bands ~0.04 rad drift over 128K (the standard long-context
+    # rope-base recipe, cf. reference rope_theta plumbing in hf_loader).
+    rope_theta=1e7,
 )
 
 CKPT = os.path.join(
@@ -145,41 +157,53 @@ def sample_repeat_batch(key, batch: int, T: int, max_jump: int):
     return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
 
 
-SEG_LEN = 48       # planted-segment length in the copy curriculum
+SEG_LEN = 48       # nominal segment length (eval probes use <= this)
+SEG_MIN = 8        # shortest trained copy segment
 
 
 def sample_copy_batch(key, batch: int, T: int, max_jump: int):
-    """Noise-embedded segment copy: a SEG_LEN segment planted at a random
-    position in the first half reappears at a random position in the
-    second half (after the position jump); loss covers the reappearance's
-    continuation tokens (SEG_LEN-1 supervised tokens per sequence).
+    """Noise-embedded segment copy with VARIABLE segment length: an
+    Lw-token segment (Lw ~ U[SEG_MIN, T/2] per sequence) planted at a
+    random position in the first half reappears at a random position in
+    the jumped second half; loss covers the reappearance's continuation
+    (Lw-1 supervised tokens).
 
-    This is the round-5 curriculum fix. The round-4 half-repeat trainer
-    reached ~80%/token copy accuracy IN-distribution but scored 0/6 on
-    every noise-embedded eval probe at 2K, even with a 240-token matched
-    prefix: with the copy source always the sequence PREFIX and the copy
-    always the entire second half, the circuit that forms never needs
-    content matching against noise on both sides — exactly what needle
-    retrieval requires. Matching here has noise before AND after both the
-    source and the copy, and matched-prefix lengths 1..SEG_LEN-1 are all
-    supervised, so short eval query prefixes are in-distribution."""
-    ks = jax.random.split(key, 5)
+    This is the round-5 curriculum fix, second iteration. Round 4's
+    half-repeat trainer scored 0/6 on every noise-embedded probe at 2K
+    (even with a 240-token matched prefix): with the copy source always
+    the sequence PREFIX and the copy always the entire second half, the
+    circuit that forms exploits that structure and never learns content
+    matching with noise on both sides. A first fix (fixed Lw=48 mixed
+    50/50 with the repeat batches) ALSO failed — the copy component sat
+    at chance (6.11) for 6.5k steps while the repeat loss fell to ~1:
+    the repeat half keeps offering the structural shortcut and the
+    fixed-length copy task never bootstraps. The length MIXTURE removes
+    the dichotomy: Lw near T/2 is nearly the repeat task (dense, easy to
+    bootstrap) but its source/dest positions are random, so the only
+    solution that works across the whole mixture is content matching —
+    which short-Lw sequences then sharpen. All matched-prefix lengths
+    down to SEG_MIN are supervised, so short eval query prefixes are
+    in-distribution."""
+    ks = jax.random.split(key, 6)
     R = T // 2
-    Lw = SEG_LEN
     toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
-    seg = jax.random.randint(ks[1], (batch, Lw), 0, HAY)
-    s1 = jax.random.randint(ks[2], (batch, 1), 0, R - Lw + 1)
-    s2 = R + jax.random.randint(ks[3], (batch, 1), 0, R - Lw + 1)
+    seg = jax.random.randint(ks[1], (batch, R), 0, HAY)
+    Lw = jax.random.randint(ks[2], (batch, 1), SEG_MIN, R + 1)  # (B, 1)
+    # random starts, clipped so the segment fits its half
+    s1 = jax.random.randint(ks[3], (batch, 1), 0, R)
+    s1 = jnp.minimum(s1, R - Lw)
+    s2 = jax.random.randint(ks[4], (batch, 1), 0, R)
+    s2 = R + jnp.minimum(s2, R - Lw)
     idx = jnp.arange(T)
 
     def plant(toks, start):
         rel = idx[None, :] - start
         inside = (rel >= 0) & (rel < Lw)
-        gathered = jnp.take_along_axis(seg, jnp.clip(rel, 0, Lw - 1), 1)
+        gathered = jnp.take_along_axis(seg, jnp.clip(rel, 0, R - 1), 1)
         return jnp.where(inside, gathered, toks)
 
     toks = plant(plant(toks, s1), s2)
-    jump = jax.random.randint(ks[4], (batch, 1), 0, max_jump)
+    jump = jax.random.randint(ks[5], (batch, 1), 0, max_jump)
     positions = idx[None, :] + jnp.where(idx[None, :] >= R, jump, 0)
     rel2 = idx[None, :] - s2
     loss_mask = (rel2 >= 1) & (rel2 < Lw)
@@ -187,24 +211,15 @@ def sample_copy_batch(key, batch: int, T: int, max_jump: int):
 
 
 def sample_mixed_batch(key, batch: int, T: int, max_jump: int):
-    """Half repeated-segment (dense copy signal — forms the induction
-    circuit), half noise-embedded segment copy (teaches content matching
-    with noise on both sides — the eval format). Batch-axis concat.
+    """Pure variable-length noise-embedded copy (see sample_copy_batch).
 
-    Round-4 history: the mix was repeat + [QUERY, key] needle; the
-    needle's 2 supervised tokens/seq were drowned 128:1 by the repeat
-    half and no needle circuit formed (answer-token accuracy 0.0 on the
-    needle half of the TRAINING distribution itself, masked by the mixed
-    loss reaching 0.81 on the repeat half)."""
-    k1, k2 = jax.random.split(key)
-    h = batch // 2
-    tr, pr, mr = sample_repeat_batch(k1, h, T, max_jump)
-    tn, pn, mn = sample_copy_batch(k2, batch - h, T, max_jump)
-    return (
-        jnp.concatenate([tr, tn], 0),
-        jnp.concatenate([pr, pn], 0),
-        jnp.concatenate([mr, mn], 0),
-    )
+    Round-4/5 history: repeat + [QUERY, key] needle (round 4) left the
+    needle at chance behind a 128:1 supervision imbalance; repeat +
+    fixed-length copy (round 5, first attempt) left the copy component
+    at chance for 6.5k steps — any mixture containing the prefix-anchored
+    repeat batch lets the model keep its structural shortcut, so the
+    trainer now uses the length-mixture copy task alone."""
+    return sample_copy_batch(key, batch, T, max_jump)
 
 
 def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
@@ -222,8 +237,10 @@ def train_induction_model(
     cfg: ModelConfig = IND_CFG,
     # 3000 steps leaves the masked loss at ~3.8 and still falling — the
     # round-2 checkpoint was saved there and retrieved at CHANCE level
-    # (~ln 500). 12000 steps forms the circuit (round-3 measurement)
-    steps: int = 12000,
+    # (~ln 500). 12000 steps formed the (shortcut) circuit on the repeat
+    # curriculum; the noise-embedded copy mixture transitions later on
+    # the d512 shape, hence 24000 (round-5 measurement)
+    steps: int = 24000,
     batch: int = 32,
     seq_len: int = 512,
     max_jump: int = 131072,

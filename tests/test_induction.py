@@ -82,7 +82,7 @@ def test_sample_copy_batch_structure():
     """The planted segment appears once per half, the loss mask covers
     exactly its continuation in the jumped half, and the masked tokens
     are predictable by content matching (identical to the source)."""
-    from kvquant_tpu.utils.induction import SEG_LEN, sample_copy_batch
+    from kvquant_tpu.utils.induction import SEG_MIN, sample_copy_batch
 
     B, T = 4, 256
     toks, pos, mask = sample_copy_batch(jax.random.PRNGKey(0), B, T, 1000)
@@ -90,15 +90,19 @@ def test_sample_copy_batch_structure():
     assert toks.shape == pos.shape == mask.shape == (B, T)
     R = T // 2
     for b in range(B):
-        assert mask[b].sum() == SEG_LEN - 1
-        lo = int(np.argmax(mask[b]))  # first masked index = s2 + 1
+        nm = int(mask[b].sum())           # Lw - 1 supervised tokens
+        assert SEG_MIN - 1 <= nm <= R - 1
+        lo = int(np.argmax(mask[b]))      # first masked index = s2 + 1
         s2 = lo - 1
-        assert s2 >= R
+        Lw = nm + 1
+        assert s2 >= R and s2 + Lw <= T
+        # mask is one contiguous run
+        assert mask[b, lo:lo + nm].all() and mask[b].sum() == nm
         # second-half occurrence equals a first-half window (the source)
-        seg = toks[b, s2:s2 + SEG_LEN]
+        seg = toks[b, s2:s2 + Lw]
         found = any(
-            (toks[b, s:s + SEG_LEN] == seg).all()
-            for s in range(0, R - SEG_LEN + 1)
+            (toks[b, s:s + Lw] == seg).all()
+            for s in range(0, R - Lw + 1)
         )
         assert found
         # positions jump between the halves, monotone within each half
