@@ -59,12 +59,8 @@ W = 2 + VL         # planted needle width ([QUERY, key, values])
 QW = 1 + 1 + VL    # query block width ([QUERY, key, values])
 
 IND_CFG = ModelConfig(
-    # d512/6L/d_head64: the d256/4L/d_head32 shape crawled 6.2->5.6 in
-    # 12k steps with no induction phase transition on the copy mixture
-    # (NOTES_ROUND5). Still ~12M params — a minutes-scale train on one
-    # chip.
-    vocab_size=512, d_model=512, n_layers=6, n_heads=8, n_kv_heads=4,
-    d_head=64, d_ff=1024, max_seq_len=131072 + 512,
+    vocab_size=512, d_model=256, n_layers=4, n_heads=8, n_kv_heads=4,
+    d_head=32, d_ff=512, max_seq_len=131072 + 512,
     # long-context rope base: at the default theta=1e4 with d_head=32,
     # even the LOWEST-frequency band rotates ~23 rad across a 128K
     # position jump, so no content-match head can be phase-invariant at
@@ -161,39 +157,39 @@ SEG_LEN = 48       # nominal segment length (eval probes use <= this)
 SEG_MIN = 8        # shortest trained copy segment
 
 
-def sample_copy_batch(key, batch: int, T: int, max_jump: int):
-    """Noise-embedded segment copy with VARIABLE segment length: an
-    Lw-token segment (Lw ~ U[SEG_MIN, T/2] per sequence) planted at a
-    random position in the first half reappears at a random position in
-    the jumped second half; loss covers the reappearance's continuation
-    (Lw-1 supervised tokens).
+def sample_copy_batch(key, batch: int, T: int, max_jump: int,
+                      difficulty=1.0):
+    """Noise-embedded segment copy with a CONTINUOUS difficulty knob: an
+    Lw-token segment planted in the first half reappears in the jumped
+    second half; loss covers the reappearance's continuation (Lw-1
+    supervised tokens).
 
-    This is the round-5 curriculum fix, second iteration. Round 4's
-    half-repeat trainer scored 0/6 on every noise-embedded probe at 2K
-    (even with a 240-token matched prefix): with the copy source always
-    the sequence PREFIX and the copy always the entire second half, the
-    circuit that forms exploits that structure and never learns content
-    matching with noise on both sides. A first fix (fixed Lw=48 mixed
-    50/50 with the repeat batches) ALSO failed — the copy component sat
-    at chance (6.11) for 6.5k steps while the repeat loss fell to ~1:
-    the repeat half keeps offering the structural shortcut and the
-    fixed-length copy task never bootstraps. The length MIXTURE removes
-    the dichotomy: Lw near T/2 is nearly the repeat task (dense, easy to
-    bootstrap) but its source/dest positions are random, so the only
-    solution that works across the whole mixture is content matching —
-    which short-Lw sequences then sharpen. All matched-prefix lengths
-    down to SEG_MIN are supervised, so short eval query prefixes are
-    in-distribution."""
+    ``difficulty`` d ∈ [0, 1] (traced scalar OK) interpolates from the
+    full-repeat task — Lw = T/2, source at 0, copy at T/2: the one
+    format that reliably BOOTSTRAPS a copy circuit — to the full
+    noise-embedded mixture: Lw ~ U[SEG_MIN, T/2], source and copy at
+    random offsets. The anneal is the round-5 finding that made the
+    retrieval checkpoint trainable at all (NOTES_ROUND5): every
+    cold-start on the hard task flatlines at chance (pure-noise copy has
+    no partial-credit gradient until the full two-hop circuit exists),
+    and every FIXED mixture containing repeat instances lets the model
+    keep a repeat-specific structural shortcut; gradually randomizing
+    the alignment of an already-solved repeat task instead forces the
+    existing match head to become content-addressed."""
     ks = jax.random.split(key, 6)
     R = T // 2
+    d = jnp.float32(difficulty)
     toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
     seg = jax.random.randint(ks[1], (batch, R), 0, HAY)
-    Lw = jax.random.randint(ks[2], (batch, 1), SEG_MIN, R + 1)  # (B, 1)
-    # random starts, clipped so the segment fits its half
-    s1 = jax.random.randint(ks[3], (batch, 1), 0, R)
-    s1 = jnp.minimum(s1, R - Lw)
-    s2 = jax.random.randint(ks[4], (batch, 1), 0, R)
-    s2 = R + jnp.minimum(s2, R - Lw)
+    # Lw ~ U[lw_min(d), R] with lw_min: R -> SEG_MIN
+    lw_min = jnp.round(R - d * (R - SEG_MIN)).astype(jnp.int32)
+    u = jax.random.uniform(ks[2], (batch, 1))
+    Lw = lw_min + jnp.floor(u * (R - lw_min + 1)).astype(jnp.int32)
+    # start offsets ~ U[0, d * (R - Lw)]
+    u1 = jax.random.uniform(ks[3], (batch, 1))
+    s1 = jnp.floor(u1 * (d * (R - Lw) + 1)).astype(jnp.int32)
+    u2 = jax.random.uniform(ks[4], (batch, 1))
+    s2 = R + jnp.floor(u2 * (d * (R - Lw) + 1)).astype(jnp.int32)
     idx = jnp.arange(T)
 
     def plant(toks, start):
@@ -210,16 +206,16 @@ def sample_copy_batch(key, batch: int, T: int, max_jump: int):
     return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
 
 
-def sample_mixed_batch(key, batch: int, T: int, max_jump: int):
-    """Pure variable-length noise-embedded copy (see sample_copy_batch).
+def sample_mixed_batch(key, batch: int, T: int, max_jump: int,
+                       difficulty=1.0):
+    """Annealed noise-embedded copy (see sample_copy_batch).
 
     Round-4/5 history: repeat + [QUERY, key] needle (round 4) left the
     needle at chance behind a 128:1 supervision imbalance; repeat +
-    fixed-length copy (round 5, first attempt) left the copy component
-    at chance for 6.5k steps — any mixture containing the prefix-anchored
-    repeat batch lets the model keep its structural shortcut, so the
-    trainer now uses the length-mixture copy task alone."""
-    return sample_copy_batch(key, batch, T, max_jump)
+    fixed-length copy left the copy component at chance for 6.5k steps;
+    cold-starting the variable-length copy task flatlined at chance on
+    two model scales — the difficulty anneal is what works."""
+    return sample_copy_batch(key, batch, T, max_jump, difficulty)
 
 
 def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
@@ -235,12 +231,10 @@ def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
 
 def train_induction_model(
     cfg: ModelConfig = IND_CFG,
-    # 3000 steps leaves the masked loss at ~3.8 and still falling — the
-    # round-2 checkpoint was saved there and retrieved at CHANCE level
-    # (~ln 500). 12000 steps formed the (shortcut) circuit on the repeat
-    # curriculum; the noise-embedded copy mixture transitions later on
-    # the d512 shape, hence 24000 (round-5 measurement)
-    steps: int = 24000,
+    # 16000 steps with the difficulty anneal reaches full-difficulty
+    # masked loss ~0.007 on this shape (round-5 diagnostic D); every
+    # cold start at fixed difficulty flatlined at chance
+    steps: int = 16000,
     batch: int = 32,
     seq_len: int = 512,
     max_jump: int = 131072,
@@ -263,10 +257,12 @@ def train_induction_model(
     # ~8 minutes (scan-of-steps far worse — the round-3 segment trainer
     # never got out of its first compile), while dispatch is async and
     # cheap (20 chained steps measured 29 ms/step end-to-end). One compile
-    # + 12000 host dispatches ≈ 6 device-minutes total.
+    # + the host dispatches ≈ minutes of device time total.
     @jax.jit
-    def one_step(params, state, key):
-        toks, pos, mask = sample_mixed_batch(key, batch, seq_len, max_jump)
+    def one_step(params, state, key, d):
+        toks, pos, mask = sample_mixed_batch(
+            key, batch, seq_len, max_jump, d
+        )
         loss, g = jax.value_and_grad(masked_loss)(
             params, cfg, toks, pos, mask
         )
@@ -274,24 +270,30 @@ def train_induction_model(
         return optax.apply_updates(params, upd), state, loss
 
     @jax.jit
-    def copy_loss(params, key):
-        # the copy-component loss alone: the mixed loss is dominated by
-        # the repeat half (~128:1 supervised-token ratio vs the round-4
-        # needle format; ~5:1 vs the copy format), which masked the
-        # round-4 failure — log the component that the eval exercises
-        toks, pos, mask = sample_copy_batch(key, batch, seq_len, max_jump)
+    def hard_loss(params, key):
+        # loss at FULL difficulty — the distribution the eval draws from;
+        # logging the training loss alone hid two curriculum failures
+        # (NOTES_ROUND5)
+        toks, pos, mask = sample_copy_batch(
+            key, batch, seq_len, max_jump, 1.0
+        )
         return masked_loss(params, cfg, toks, pos, mask)
+
+    # difficulty anneal: repeat task for the first 1/8 of training, ramp
+    # to the full noise-embedded mixture by 5/8, hold
+    ramp0, ramp1 = steps // 8, 5 * steps // 8
 
     loss = float("nan")
     for s in range(steps):
+        d = min(max((s - ramp0) / max(ramp1 - ramp0, 1), 0.0), 1.0)
         params, state, loss_d = one_step(
-            params, state, jax.random.PRNGKey(1000 + s)
+            params, state, jax.random.PRNGKey(1000 + s), jnp.float32(d)
         )
         if (s + 1) % segment == 0 or s + 1 == steps:
             loss = float(loss_d)
-            lc = float(copy_loss(params, jax.random.PRNGKey(17 + s)))
-            log(f"[induction] step {s + 1}: masked loss {loss:.4f} "
-                f"(copy component {lc:.4f})")
+            lc = float(hard_loss(params, jax.random.PRNGKey(17 + s)))
+            log(f"[induction] step {s + 1} d={d:.2f}: masked loss "
+                f"{loss:.4f} (full-difficulty {lc:.4f})")
     return params, loss
 
 
