@@ -56,25 +56,34 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 64))
     bits = int(os.environ.get("BENCH_BITS", 4))
     n_layers = int(os.environ.get("BENCH_LAYERS", 8))
-    # flash_serial (kernel-owned double-buffered DMA) + one 16-head group
-    # + 16 residual channels is the measured-best decode config (round 5:
-    # 178.7 tok/s = 3.19x fp16 at 128K vs 118.1 = 2.11x for flash/hg4;
-    # 61.5 tok/s at 512K int4x2, 32.9 at 1M — benchmarks/NOTES_ROUND5.md)
-    kernel = os.environ.get("BENCH_KERNEL", "flash_serial")
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
     with_fp16 = os.environ.get("BENCH_FP16", "1") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 1))
-    head_group = int(os.environ.get("BENCH_HEADGROUP", 16))
     dot_bf16 = os.environ.get("BENCH_DOTBF16", "1") == "1"
     blk = int(os.environ.get("BENCH_BT", 2048))
     codes = os.environ.get("BENCH_CODES", "int4")  # nuq | int4 | int8 |
     # int4x2 (exact-density 2-bit pair container; set BENCH_BITS=2)
     post_rope = os.environ.get("BENCH_POSTROPE", "1") == "1"
     k_out = os.environ.get("BENCH_KOUT", "channels")  # slots | channels
+    cap = int(os.environ.get("BENCH_CAP", 0))  # outlier slots per side
+    # flash_serial (kernel-owned double-buffered DMA) + one 16-head group
+    # + 16 residual channels is the measured-best decode config (round 5:
+    # 178.7 tok/s = 3.19x fp16 at 128K vs 118.1 = 2.11x for flash/hg4;
+    # 61.5 tok/s at 512K int4x2, 32.9 at 1M — NOTES_ROUND5.md). It is
+    # only legal on post-RoPE intN storage; hg=16 needs cap0 (9-bit slot
+    # index field) — other configs default to the pipelined flash kernel.
+    speed_ok = codes != "nuq" and post_rope
+    kernel = os.environ.get("BENCH_KERNEL",
+                            "flash_serial" if speed_ok else "flash")
+    head_group = int(os.environ.get(
+        "BENCH_HEADGROUP", 16 if speed_ok and cap == 0 else 4))
+    n_kv_pre = int(os.environ.get("BENCH_KVHEADS",
+                                  os.environ.get("BENCH_HEADS", 16)))
+    while n_kv_pre % head_group:  # DeployConfig.create halves likewise
+        head_group //= 2
     # n_kc scales with head_group so the TOTAL residual-channel budget is
     # hg-invariant (channels are selected per group of hg heads)
     n_kc = int(os.environ.get("BENCH_NKC", 4 * head_group // 4))
-    cap = int(os.environ.get("BENCH_CAP", 0))  # outlier slots per side
     n_heads = int(os.environ.get("BENCH_HEADS", 16))
     n_kv = int(os.environ.get("BENCH_KVHEADS", n_heads))  # < heads => GQA
     moe = os.environ.get("BENCH_MOE", "0") == "1"  # DBRX-style MoE FFN

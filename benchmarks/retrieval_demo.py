@@ -73,6 +73,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ctx", default="16384,65536")
     ap.add_argument("--depths", default="0,50,100")
+    ap.add_argument("--depth-tokens", action="store_true",
+                    help="interpret --depths as ABSOLUTE source offsets in "
+                         "tokens instead of percent of the haystack (the "
+                         "trained checkpoint's source-side depth "
+                         "generalization bound is ~T/2 real tokens — see "
+                         "NOTES_ROUND5; the retrieval DISTANCE is still "
+                         "ctx-long since the query sits at the end)")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--bits", type=int, default=3)
     ap.add_argument("--out", default="benchmarks/retrieval_results.json")
@@ -135,8 +142,12 @@ def main():
             nq = nf = 0
             sum_q = sum_f = 0.0
             for trial in range(args.trials):
+                if args.depth_tokens:
+                    frac = min(depth / max(ctx - 16 - 18, 1), 1.0)
+                else:
+                    frac = depth / 100.0
                 ids, answer = build_copy_prompt(
-                    ctx, depth / 100.0, seed=ctx + int(depth) * 7 + trial)
+                    ctx, frac, seed=ctx + int(depth) * 7 + trial)
                 prompt = jnp.asarray(ids[None], jnp.int32)
                 if ctx not in warmed:
                     # one untimed call per prompt shape so the first timed

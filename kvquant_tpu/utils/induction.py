@@ -218,6 +218,64 @@ def sample_mixed_batch(key, batch: int, T: int, max_jump: int,
     return sample_copy_batch(key, batch, T, max_jump, difficulty)
 
 
+def sample_blocks_batch(key, batch: int, T: int, difficulty=1.0):
+    """Stage-2 curriculum: multi-block jumped history. The first
+    NB_BLOCKS*BLOCK tokens are history blocks separated by independent
+    position jumps (half zero — contiguous real runs — half ~U[0, 16K]);
+    an Lw-token segment planted in a RANDOM history block reappears in
+    the query region (the last T - NB_BLOCKS*BLOCK tokens).
+
+    Why a second stage (NOTES_ROUND5): the stage-1 (single-jump)
+    checkpoint retrieves perfectly when the source lies within the first
+    ~T/2 REAL tokens but collapses beyond (0/8 at 2048-token depth 0.5)
+    — layer-1 source features only generalize to the real context depth
+    seen in training. Varying the number, spacing, and reality of
+    source-context blocks fixes that: fine-tuning on this distribution
+    took 2048-depth-0.5 from 0/8 to 8/8 and holds 6-7/8 at 16K full
+    depth. Cold-starting on THIS distribution flatlines at chance —
+    warm-starting from stage 1 is required."""
+    NB_BLOCKS, BLOCK = 6, 128
+    H0 = NB_BLOCKS * BLOCK
+    QH = T - H0
+    assert QH >= 64, (T, H0)
+    d = jnp.float32(difficulty)
+    ks = jax.random.split(key, 9)
+    toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
+    seg = jax.random.randint(ks[1], (batch, BLOCK), 0, HAY)
+    # source block: d=0 -> last history block; d=1 -> uniform
+    u_blk = jax.random.uniform(ks[2], (batch, 1))
+    blk = jnp.where(
+        jax.random.uniform(ks[3], (batch, 1)) < d,
+        jnp.floor(u_blk * NB_BLOCKS), jnp.float32(NB_BLOCKS - 1)
+    ).astype(jnp.int32)
+    lw_min = jnp.round(BLOCK - d * (BLOCK - SEG_MIN)).astype(jnp.int32)
+    u = jax.random.uniform(ks[4], (batch, 1))
+    Lw = lw_min + jnp.floor(u * (BLOCK - lw_min + 1)).astype(jnp.int32)
+    u1 = jax.random.uniform(ks[5], (batch, 1))
+    s1 = blk * BLOCK + jnp.floor(u1 * (d * (BLOCK - Lw) + 1)).astype(jnp.int32)
+    u2 = jax.random.uniform(ks[6], (batch, 1))
+    s2 = H0 + jnp.floor(u2 * (d * (QH - Lw) + 1)).astype(jnp.int32)
+    idx = jnp.arange(T)
+
+    def plant(toks, start):
+        rel = idx[None, :] - start
+        inside = (rel >= 0) & (rel < Lw)
+        g = jnp.take_along_axis(seg, jnp.clip(rel, 0, BLOCK - 1), 1)
+        return jnp.where(inside, g, toks)
+
+    toks = plant(plant(toks, s1), s2)
+    jz = jax.random.randint(ks[7], (batch, NB_BLOCKS), 0, 16384)
+    jmask = jax.random.uniform(ks[8], (batch, NB_BLOCKS)) < 0.5
+    jumps = jnp.where(jmask, jz, 0)
+    bnd = (jnp.arange(NB_BLOCKS)[None, :, None] + 1) * BLOCK
+    positions = idx[None, :] + jnp.sum(
+        jnp.where(idx[None, None, :] >= bnd, jumps[:, :, None], 0), axis=1
+    )
+    rel2 = idx[None, :] - s2
+    loss_mask = (rel2 >= 1) & (rel2 < Lw)
+    return toks.astype(jnp.int32), positions.astype(jnp.int32), loss_mask
+
+
 def masked_loss(params, cfg: ModelConfig, toks, positions, mask):
     """Cross-entropy on masked label positions only (the haystack is
     uniform noise — training on it would only burn capacity)."""
@@ -292,8 +350,36 @@ def train_induction_model(
         if (s + 1) % segment == 0 or s + 1 == steps:
             loss = float(loss_d)
             lc = float(hard_loss(params, jax.random.PRNGKey(17 + s)))
-            log(f"[induction] step {s + 1} d={d:.2f}: masked loss "
+            log(f"[induction] stage1 step {s + 1} d={d:.2f}: masked loss "
                 f"{loss:.4f} (full-difficulty {lc:.4f})")
+
+    # ---- stage 2: multi-block jumped history (source-depth
+    # generalization; see sample_blocks_batch). Warm-start is REQUIRED —
+    # cold starts on this distribution flatline at chance. ----
+    steps2 = steps * 5 // 8
+    T2 = seq_len * 2
+    B2 = max(batch // 2, 1)
+    state = opt.init(params)  # fresh optimizer state for the new task
+
+    @jax.jit
+    def one_step2(params, state, key, d):
+        toks, pos, mask = sample_blocks_batch(key, B2, T2, d)
+        loss, g = jax.value_and_grad(masked_loss)(
+            params, cfg, toks, pos, mask
+        )
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    r0, r1 = steps2 // 20, 7 * steps2 // 20
+    for s in range(steps2):
+        d = min(max((s - r0) / max(r1 - r0, 1), 0.0), 1.0)
+        params, state, loss_d = one_step2(
+            params, state, jax.random.PRNGKey(10 ** 6 + s), jnp.float32(d)
+        )
+        if (s + 1) % segment == 0 or s + 1 == steps2:
+            loss = float(loss_d)
+            log(f"[induction] stage2 step {s + 1} d={d:.2f}: masked loss "
+                f"{loss:.4f}")
     return params, loss
 
 

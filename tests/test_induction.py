@@ -124,3 +124,31 @@ def test_build_copy_prompt():
     ]
     assert len(hits) == 1
     assert ids.max() < HAY
+
+
+def test_sample_blocks_batch_structure():
+    """Stage-2 sampler: masked run is the continuation of a segment that
+    occurs verbatim in a history block; positions are monotone with
+    jumps only at block boundaries."""
+    from kvquant_tpu.utils.induction import SEG_MIN, sample_blocks_batch
+
+    B, T = 4, 1024
+    toks, pos, mask = sample_blocks_batch(jax.random.PRNGKey(2), B, T, 1.0)
+    toks, pos, mask = map(np.asarray, (toks, pos, mask))
+    H0 = 6 * 128
+    for b in range(B):
+        nm = int(mask[b].sum())
+        assert SEG_MIN - 1 <= nm <= 127
+        lo = int(np.argmax(mask[b]))
+        s2, Lw = lo - 1, nm + 1
+        assert s2 >= H0 and s2 + Lw <= T
+        seg = toks[b, s2:s2 + Lw]
+        found = any(
+            (toks[b, s:s + Lw] == seg).all() for s in range(0, H0 - Lw + 1)
+        )
+        assert found
+        # positions strictly increasing; steps > 1 only at block bounds
+        dp = np.diff(pos[b])
+        assert (dp >= 1).all()
+        jump_at = np.nonzero(dp > 1)[0] + 1
+        assert all(j % 128 == 0 and j <= H0 for j in jump_at)
