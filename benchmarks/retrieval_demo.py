@@ -33,30 +33,47 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def get_quantizers(bits: int, params, cfg, log, sparsity=0.99):
+def get_quantizers(bits: int, params, cfg, log, sparsity=0.95,
+                   cal_len=4096):
     """Load or fit (and save) quantizers calibrated on the induction
-    model's own activations — same pipeline as cli/calibrate.py."""
+    model's own activations — same pipeline as cli/calibrate.py.
+
+    Calibration prompts are LONG eval-style haystacks (build_copy_prompt
+    at ``cal_len``), not short training batches: K/V activation ranges
+    grow with real context depth, and ranges fit on 512-token samples
+    CLIP at 16K+ — measured as quant retrieval degrading with ctx while
+    fp16 improved (NOTES_ROUND5)."""
     from kvquant_tpu.quant.artifacts import load_quantizers, save_quantizers
     from kvquant_tpu.quant.calibration import (
         collect_kv_activations, fit_quantizers,
     )
-    from kvquant_tpu.utils.induction import sample_batch
-    import jax
+    from kvquant_tpu.utils.induction import build_copy_prompt
+    import numpy as np
 
-    path = f"artifacts/induction_quantizers_{bits}bit_s{sparsity}.npz"
+    path = (f"artifacts/induction_quantizers_{bits}bit_s{sparsity}"
+            f"_c{cal_len}.npz")
     if os.path.exists(path):
         return load_quantizers(path)
     log(f"calibrating {bits}-bit quantizers on induction activations "
-        f"(sparsity {sparsity}) ...")
-    toks, _, _ = sample_batch(jax.random.PRNGKey(7), 8, 512, 2)
-    k_acts, v_acts = collect_kv_activations(params, cfg, [toks])
+        f"(sparsity {sparsity}, cal_len {cal_len}) ...")
+    prompts = np.stack([
+        build_retrieval_cal(cal_len, s) for s in range(4)
+    ])
+    k_acts, v_acts = collect_kv_activations(params, cfg, [prompts])
     qs = fit_quantizers(
         k_acts, v_acts, bits=bits, sparsity_threshold=sparsity,
-        cap_outliers=True, first_few_fp16=5, sample_seqlen=512,
+        cap_outliers=True, first_few_fp16=5, sample_seqlen=cal_len,
         kmeans_iters=20,
     )
     save_quantizers(path, qs)
     return qs
+
+
+def build_retrieval_cal(cal_len, seed):
+    from kvquant_tpu.utils.induction import build_copy_prompt
+
+    ids, _ = build_copy_prompt(cal_len, (seed % 4) / 4.0, seed=seed)
+    return ids
 
 
 def main():
@@ -89,6 +106,8 @@ def main():
                          "KV channels, so 5%% (~6 channels) is the "
                          "scale-equivalent outlier budget")
     ap.add_argument("--kernel", default="flash", choices=["flash", "xla"])
+    ap.add_argument("--dot-f32", action="store_true",
+                    help="f32 score/PV contractions in the deployed kernels")
     ap.add_argument("--out", default="benchmarks/retrieval_results.json")
     args = ap.parse_args()
 
@@ -107,7 +126,7 @@ def main():
     dcfg = DeployConfig.create(
         bits=qs.bits, n_kv_heads=cfg.n_kv_heads, d_head=cfg.d_head,
         max_len=max_ctx + VL + 8, sink=qs.first_few_fp16,
-        kernel=args.kernel, head_group=4,
+        kernel=args.kernel, head_group=4, dot_bf16=not args.dot_f32,
         # MUST match the quantizers' calibration threshold: the deployed
         # V-outlier budget (v_range_exclude) derives from this
         sparsity_threshold=args.sparsity,

@@ -470,6 +470,10 @@ def forward(
     capture_kv: bool = False,
     kv_probes=None,  # dict(k=(L,B,T,C), v=(L,B,T,C)) zeros — Fisher probes
     attn_chunk: int | None = None,  # force blockwise attention chunk size
+    remat: bool = False,  # jax.checkpoint each layer: O(L*B*T*d) residuals
+    # instead of per-chunk attention intermediates in the backward pass
+    # (T=8192 fine-tune measured 58.7G HBM without it — the standard
+    # activation-rematerialization trade, cf. jax.checkpoint docs)
 ):
     """Full-sequence forward. Returns (logits fp32 (B,T,V), aux dict).
 
@@ -536,7 +540,9 @@ def forward(
         scanned["probe_k"] = kv_probes["k"]
         scanned["probe_v"] = kv_probes["v"]
 
-    x, (k_acts, v_acts) = jax.lax.scan(layer_fn, x, scanned)
+    x, (k_acts, v_acts) = jax.lax.scan(
+        jax.checkpoint(layer_fn) if remat else layer_fn, x, scanned
+    )
 
     x = norm(x, params["final_norm"], cfg)
     head = params.get("lm_head")
