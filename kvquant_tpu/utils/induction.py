@@ -383,6 +383,116 @@ def train_induction_model(
     return params, loss
 
 
+def sample_long_batch(key, batch: int, T: int, qz: int = 256,
+                      max_jump: int = 131072, seg_max: int = 128):
+    """Stage-3 curriculum: LONG real context (train with chunked
+    attention + forward(remat=True)). A segment (Lw ~ U[SEG_MIN,
+    seg_max]) planted ANYWHERE in the first T-qz real tokens reappears
+    in the last-qz query zone (position jump before it extends the
+    retrieval distance to max_jump). Trains softmax-dilution robustness
+    at T real keys and source features at any real depth — the stage-2
+    model was still key-count-bound (1/8 deployed at 16K while 8/8 at
+    2K, NOTES_ROUND5)."""
+    ks = jax.random.split(key, 7)
+    H0 = T - qz
+    toks = jax.random.randint(ks[0], (batch, T), 0, HAY)
+    seg = jax.random.randint(ks[1], (batch, seg_max), 0, HAY)
+    u = jax.random.uniform(ks[2], (batch, 1))
+    Lw = SEG_MIN + jnp.floor(u * (seg_max - SEG_MIN + 1)).astype(jnp.int32)
+    u1 = jax.random.uniform(ks[3], (batch, 1))
+    s1 = jnp.floor(u1 * (H0 - Lw + 1)).astype(jnp.int32)
+    u2 = jax.random.uniform(ks[4], (batch, 1))
+    s2 = H0 + jnp.floor(u2 * (qz - Lw + 1)).astype(jnp.int32)
+    idx = jnp.arange(T)
+
+    def plant(toks, start):
+        rel = idx[None, :] - start
+        inside = (rel >= 0) & (rel < Lw)
+        g = jnp.take_along_axis(seg, jnp.clip(rel, 0, seg_max - 1), 1)
+        return jnp.where(inside, g, toks)
+
+    toks = plant(plant(toks, s1), s2)
+    jump = jax.random.randint(ks[5], (batch, 1), 0, max_jump)
+    positions = idx[None, :] + jnp.where(idx[None, :] >= H0, jump, 0)
+    rel2 = idx[None, :] - s2
+    mask = (rel2 >= 1) & (rel2 < Lw)
+    return toks.astype(jnp.int32), positions.astype(jnp.int32), mask
+
+
+def finetune_retrieval_robust(
+    params,
+    cfg: ModelConfig = IND_CFG,
+    steps: int = 3000,
+    long_T: int = 8192,
+    k_noise: float = 0.08,
+    v_noise: float = 0.05,
+    lr: float = 3e-4,
+    log=print,
+):
+    """Stages 3-5 consolidated: noise-robust long-context fine-tune.
+
+    Injects Gaussian noise on the K/V projections (via forward's
+    kv_probes hook) at quantized-cache error scale — k_noise/v_noise are
+    fractions of the per-layer activation std, measured on the fly — so
+    retrieval margins survive 4-bit K quantization (stage-4 measurement:
+    deployed 4-bit at 2K went 4/8 → 8/8), and alternates long-real-
+    context batches (sample_long_batch at long_T, trained with remat +
+    chunked attention) with stage-2 blocks batches for retention."""
+    import optax
+
+    L, C = cfg.n_layers, cfg.kv_hidden
+
+    # per-layer activation stds ground the noise scale
+    toks0, pos0, _ = sample_copy_batch(
+        jax.random.PRNGKey(0), 4, 512, 1000, 1.0)
+    _, aux = forward(params, cfg, toks0, positions=pos0, capture_kv=True)
+    kstd = jnp.asarray(aux["k_acts"]).std(axis=(1, 2, 3))
+    vstd = jnp.asarray(aux["v_acts"]).std(axis=(1, 2, 3))
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    def noisy_loss(params, toks, pos, mask, key, chunk, remat):
+        B, T = toks.shape
+        k1, k2 = jax.random.split(key)
+        probes = {
+            "k": jax.random.normal(k1, (L, B, T, C))
+                 * (k_noise * kstd)[:, None, None, None],
+            "v": jax.random.normal(k2, (L, B, T, C))
+                 * (v_noise * vstd)[:, None, None, None],
+        }
+        logits, _ = forward(params, cfg, toks, positions=pos,
+                            kv_probes=probes, attn_chunk=chunk,
+                            remat=remat)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        m = mask[:, 1:].astype(jnp.float32)
+        return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @jax.jit
+    def one_step(params, state, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        t1, p1, m1 = sample_long_batch(k1, 2, long_T)
+        l1, g1 = jax.value_and_grad(noisy_loss)(
+            params, t1, p1, m1, k3, 1024, True)
+        upd, state = opt.update(g1, state)
+        params = optax.apply_updates(params, upd)
+        t2, p2, m2 = sample_blocks_batch(k2, 8, 1024, 1.0)
+        l2, g2 = jax.value_and_grad(noisy_loss)(
+            params, t2, p2, m2, k4, None, False)
+        upd, state = opt.update(g2, state)
+        return optax.apply_updates(params, upd), state, (l1, l2)
+
+    for s in range(steps):
+        params, state, (l1, l2) = one_step(
+            params, state, jax.random.PRNGKey(11 * 10 ** 6 + s))
+        if (s + 1) % 250 == 0 or s + 1 == steps:
+            log(f"[induction] robust step {s + 1}: long {float(l1):.4f} "
+                f"blocks {float(l2):.4f}")
+    return params
+
+
 def cached_induction_model(path: str = CKPT, log=print):
     """Load (or train + save) the retrieval checkpoint."""
     from .toymodel import load_toy_checkpoint, save_toy_checkpoint
@@ -391,6 +501,7 @@ def cached_induction_model(path: str = CKPT, log=print):
         params, loss, _ = load_toy_checkpoint(path)
         return params, loss
     params, loss = train_induction_model(log=log)
+    params = finetune_retrieval_robust(params, log=log)
     save_toy_checkpoint(path, params, loss, seed=0)
     return params, loss
 
