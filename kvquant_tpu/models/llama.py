@@ -398,7 +398,8 @@ def _attention_full(q, k, v, cfg: ModelConfig, positions):
     return out.reshape(B, T, H * Dh).astype(q.dtype)
 
 
-def _attention_chunked(q, k, v, cfg: ModelConfig, positions, chunk: int):
+def _attention_chunked(q, k, v, cfg: ModelConfig, positions, chunk: int,
+                       remat: bool = False):
     """Blockwise online-softmax (flash-style) causal attention: O(T*chunk)
     score memory instead of O(T^2). The reference's long-prompt path is
     flash-attn fp16 (deployment modeling_llama.py:1860-1873); on TPU the
@@ -442,21 +443,29 @@ def _attention_chunked(q, k, v, cfg: ModelConfig, positions, chunk: int):
     m0 = jnp.full((B, Hkv, g, T), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, Hkv, g, T), jnp.float32)
     a0 = jnp.zeros((B, Hkv, g, T, Dh), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kb, vb, pb))
+    # remat: recompute each chunk's (T, chunk) score block in the
+    # backward instead of saving all nb of them (32K tokens measured a
+    # 68.7G allocation without this; the saved carries are O(nb*T*Dh))
+    (m, l, acc), _ = jax.lax.scan(
+        jax.checkpoint(body) if remat else body, (m0, l0, a0),
+        (kb, vb, pb),
+    )
 
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = jnp.moveaxis(out, 3, 1)  # (B,T,Hkv,g,Dh)
     return out.reshape(B, T, H * Dh).astype(q.dtype)
 
 
-def _attention(q, k, v, cfg: ModelConfig, positions, chunk=None):
+def _attention(q, k, v, cfg: ModelConfig, positions, chunk=None,
+               remat=False):
     """Causal attention; switches to the blockwise path for long sequences
     (or when ``chunk`` is forced)."""
     T = q.shape[1]
     if chunk is None and T > 4096:
         chunk = 2048
     if chunk is not None and T % chunk == 0 and T > chunk:
-        return _attention_chunked(q, k, v, cfg, positions, chunk)
+        return _attention_chunked(q, k, v, cfg, positions, chunk,
+                                  remat=remat)
     return _attention_full(q, k, v, cfg, positions)
 
 
@@ -526,7 +535,8 @@ def forward(
                 scanned["sq"], sq_cfg,
             ).reshape(B, T, cfg.n_kv_heads, cfg.d_head)
 
-        attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk)
+        attn = _attention(q, k, v, cfg, positions, chunk=attn_chunk,
+                          remat=remat)
         x = x + attn @ lp["wo"]
 
         h = norm(x, lp["ln_mlp"], cfg)
